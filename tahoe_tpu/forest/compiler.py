@@ -1,0 +1,286 @@
+"""Forest compiler: structure-aware optimization passes.
+
+The TPU-native re-design of ``dense_adaptive_forest::init``'s host-side model
+compilation pipeline (Struct.h:1756-1986): decode → hot-child swap with
+exchange bits → adaptive fid-width selection → similar-tree clustering →
+packed encode → tree-major and node-major layouts. Every pass here is a pure
+``ForestSpec → ForestSpec`` (or derived-form) array transformation, vectorized
+over numpy, and each is verified semantics-preserving by oracle parity tests.
+
+Two passes intentionally diverge from the reference:
+
+- **simhash clustering** hashes each tree's actual content tokens. The
+  reference feeds *uninitialized* buffers to its simhash (Struct.h:1854-1870),
+  so its published clustering sorts garbage; the intended capability —
+  placing structurally similar trees on adjacent lanes so vectorized descent
+  takes similar paths — is implemented properly here.
+- **levelize** produces the representation none of the reference kernels have:
+  per-level node tables in *bit-reversed node order* with early leaves pushed
+  to the bottom and exchange bits folded in. Bit reversal makes the
+  select-fold recurrence read contiguous halves instead of even/odd
+  interleaves (see LeveledForest and tensor_engine), which is the layout TPUs
+  want.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from tahoe_tpu.config import (
+    NodeWidth,
+    def_left_mask,
+    exchange_mask,
+    fid_mask,
+    is_leaf_mask,
+)
+from tahoe_tpu.forest.spec import ForestSpec, LeveledForest, PackedForest
+from tahoe_tpu.forest.simhash import tree_simhash_order
+
+
+# ----------------------------------------------------------------------
+# Pass 1: hot-child swapping
+# ----------------------------------------------------------------------
+
+def hot_child_swap(forest: ForestSpec) -> ForestSpec:
+    """Reorder each split's children so the higher-training-weight child is on
+    the right, recording an ``exchange`` bit on the parent.
+
+    Semantics-preserving: traversal inverts the branch condition at exchanged
+    nodes (Struct.h:896-898), so predictions are bit-identical; what changes is
+    which side the "hot" (more probable) subtree lives on, which the reference
+    exploits for branch coherence (Struct.h:1775-1825) and which here gives
+    the select-fold a statistically warmer second half.
+
+    Vectorized form of the reference's per-node loops: levels are processed
+    bottom-up; a swap at level d mirrors the two child subtrees at every level
+    below via a reshape into [T, 2^d, 2, subtree] blocks.
+    """
+    out = forest.copy()
+    depth = forest.depth
+    arrays = (out.values, out.weights, out.fids, out.def_left, out.is_leaf, out.exchange)
+
+    for d in range(depth - 1, -1, -1):
+        lev = out.level_slice(d)
+        child = out.level_slice(d + 1)
+        # children of node o at level d sit at (2o, 2o+1) within level d+1
+        cw = out.weights[:, child].reshape(forest.num_trees, 1 << d, 2)
+        swap = (~out.is_leaf[:, lev]) & (cw[:, :, 0] < cw[:, :, 1])
+
+        out.exchange[:, lev] |= swap
+
+        for dd in range(d + 1, depth + 1):
+            lev_dd = out.level_slice(dd)
+            sub = 1 << (dd - d - 1)
+            for arr in arrays:
+                block = arr[:, lev_dd].reshape(forest.num_trees, 1 << d, 2, sub)
+                mirrored = block[:, :, ::-1, :]
+                sel = np.where(swap[:, :, None, None], mirrored, block)
+                arr[:, lev_dd] = sel.reshape(forest.num_trees, 1 << dd)
+    return out
+
+
+# ----------------------------------------------------------------------
+# Pass 2: adaptive node-metadata width
+# ----------------------------------------------------------------------
+
+def select_width(forest: ForestSpec) -> NodeWidth:
+    """Narrowest packing whose fid field holds the forest's max feature id
+    (reference: Struct.h:1827-1852)."""
+    return NodeWidth.for_max_fid(forest.max_fid)
+
+
+# ----------------------------------------------------------------------
+# Pass 3: similar-tree clustering
+# ----------------------------------------------------------------------
+
+def cluster_trees(forest: ForestSpec) -> Tuple[ForestSpec, np.ndarray]:
+    """Reorder trees so structurally similar trees are adjacent.
+
+    Returns (reordered forest, permutation) with perm[i] = original index of
+    the tree now at slot i. Tree order does not affect predictions (margins
+    are a sum over trees), only memory/lane locality.
+    """
+    order = tree_simhash_order(forest)
+    out = forest.copy()
+    for name in ("values", "weights", "fids", "def_left", "is_leaf", "exchange"):
+        arr = getattr(forest, name)
+        getattr(out, name)[:] = arr[order]
+    return out, order
+
+
+# ----------------------------------------------------------------------
+# Pass 4: packed adaptive encode (tree-major + node-major layouts)
+# ----------------------------------------------------------------------
+
+_WIDTH_DTYPE = {NodeWidth.CHAR: np.uint8, NodeWidth.SHORT: np.uint16, NodeWidth.INT: np.uint32}
+
+
+def pack(forest: ForestSpec, width: NodeWidth | None = None) -> PackedForest:
+    """Pack {fid, def_left, is_leaf, exchange} into an adaptive-width integer
+    table parallel to the f32 values table, in both layouts
+    (reference encode: Struct.h:77-98; layouts: Struct.h:1893-1923)."""
+    if width is None:
+        width = select_width(forest)
+    dt = _WIDTH_DTYPE[width]
+    bits = (
+        (forest.fids.astype(np.int64) & fid_mask(width))
+        | (forest.def_left.astype(np.int64) * def_left_mask(width))
+        | (forest.is_leaf.astype(np.int64) * is_leaf_mask(width))
+        | (forest.exchange.astype(np.int64) * exchange_mask(width))
+    ).astype(dt)
+    return PackedForest(
+        depth=forest.depth,
+        num_cols=forest.num_cols,
+        width_bytes=int(width),
+        values=forest.values.copy(),
+        bits=bits,
+        values_reorg=np.ascontiguousarray(forest.values.T),
+        bits_reorg=np.ascontiguousarray(bits.T),
+        tree_order=np.arange(forest.num_trees, dtype=np.int32),
+        output=forest.output,
+        global_bias=forest.global_bias,
+        threshold=forest.threshold,
+        missing=forest.missing,
+    )
+
+
+def unpack(packed: PackedForest) -> ForestSpec:
+    """Inverse of :func:`pack` (weights are not preserved — they only feed the
+    hot-swap pass, like the reference's encode which drops them too,
+    Struct.h:77-98)."""
+    width = NodeWidth(packed.width_bytes)
+    b = packed.bits.astype(np.int64)
+    return ForestSpec(
+        depth=packed.depth,
+        num_cols=packed.num_cols,
+        values=packed.values.copy(),
+        weights=np.zeros_like(packed.values),
+        fids=(b & fid_mask(width)).astype(np.int32),
+        def_left=(b & def_left_mask(width)) != 0,
+        is_leaf=(b & is_leaf_mask(width)) != 0,
+        exchange=(b & exchange_mask(width)) != 0,
+        output=packed.output,
+        global_bias=packed.global_bias,
+        threshold=packed.threshold,
+        missing=packed.missing,
+    )
+
+
+# ----------------------------------------------------------------------
+# Pass 5: levelization (perfect-tree normalization, bit-reversed order)
+# ----------------------------------------------------------------------
+
+def bit_reverse_permutation(d: int) -> np.ndarray:
+    """perm[j] = d-bit reversal of j (identity for d <= 1 entries)."""
+    n = 1 << d
+    perm = np.zeros(n, dtype=np.int64)
+    for j in range(n):
+        r = 0
+        x = j
+        for _ in range(d):
+            r = (r << 1) | (x & 1)
+            x >>= 1
+        perm[j] = r
+    return perm
+
+
+def levelize(forest: ForestSpec) -> LeveledForest:
+    """ForestSpec → LeveledForest: the engine-facing derived form.
+
+    Three normalizations, all semantics-preserving:
+
+    1. **Early-leaf push-down**: a leaf above max depth becomes an
+       "always-left" pass-through (thresh=+inf, def routes left) and its value
+       is copied into both children, recursively — so every path has length
+       exactly ``depth`` and engines run unconditional select steps with no
+       is_leaf masking (the reference instead carries an active-lane mask
+       through every kernel, e.g. Struct.h:363-377).
+    2. **Exchange folding**: effective condition at a node is
+       ``miss ? (!def_left XOR exchange) : ((x >= thresh) XOR exchange)``
+       (Struct.h:894-898); we precompute ``def_right = !def_left XOR exchange``
+       and ``invert = exchange`` so traversal needs no exchange decode.
+    3. **Bit-reversed node order** within each level: node with path bits
+       (b_0..b_{d-1}) (b_0 = root decision) is stored at index
+       Σ b_k << k instead of Σ b_k << (d-1-k). Under this order the fold
+       recurrence becomes
+       ``w_d[j] = cond_d[j] ? w_{d+1}[j + 2^d] : w_{d+1}[j]`` —
+       contiguous-half selects with no even/odd deinterleave.
+    """
+    T, depth = forest.num_trees, forest.depth
+
+    values = forest.values.copy()
+    fids = forest.fids.copy()
+    def_left = forest.def_left.copy()
+    is_leaf = forest.is_leaf.copy()
+    exchange = forest.exchange.copy()
+
+    # 1. push early leaves down, level by level, top-down
+    for d in range(depth):
+        lev = forest.level_slice(d)
+        child = forest.level_slice(d + 1)
+        leaf_here = is_leaf[:, lev]  # [T, 2^d]
+        if leaf_here.any():
+            leaf_vals = values[:, lev]
+            cv = values[:, child].reshape(T, 1 << d, 2)
+            cl = is_leaf[:, child].reshape(T, 1 << d, 2)
+            mask = leaf_here[:, :, None]
+            np.copyto(cv, np.broadcast_to(leaf_vals[:, :, None], cv.shape), where=mask)
+            np.copyto(cl, True, where=mask)
+            values[:, child] = cv.reshape(T, 1 << (d + 1))
+            is_leaf[:, child] = cl.reshape(T, 1 << (d + 1))
+            # the node itself becomes an always-left pass-through. NaN as the
+            # threshold makes `x >= thresh` False for EVERY x (±inf included),
+            # which is exactly "route left unconditionally".
+            values[:, lev] = np.where(leaf_here, np.float32(np.nan), values[:, lev])
+            fids[:, lev] = np.where(leaf_here, 0, fids[:, lev])
+            # and missing routes !def_left = left when def_left=True
+            def_left[:, lev] = np.where(leaf_here, True, def_left[:, lev])
+            exchange[:, lev] = np.where(leaf_here, False, exchange[:, lev])
+
+    # 2+3. fold exchange, apply bit-reversed order per level
+    thresh_l, fid_l, def_right_l, invert_l = [], [], [], []
+    for d in range(depth):
+        lev = forest.level_slice(d)
+        perm = bit_reverse_permutation(d)
+        thresh_l.append(values[:, lev][:, perm])
+        fid_l.append(fids[:, lev][:, perm])
+        dr = (~def_left[:, lev]) ^ exchange[:, lev]
+        def_right_l.append(dr[:, perm])
+        invert_l.append(exchange[:, lev][:, perm])
+
+    leaf_perm = bit_reverse_permutation(depth)
+    leaf_values = values[:, forest.level_slice(depth)][:, leaf_perm]
+
+    return LeveledForest(
+        depth=depth,
+        num_cols=forest.num_cols,
+        thresh=thresh_l,
+        fid=fid_l,
+        def_right=def_right_l,
+        invert=invert_l,
+        leaf_values=np.ascontiguousarray(leaf_values),
+        output=forest.output,
+        global_bias=forest.global_bias,
+        threshold=forest.threshold,
+        missing=forest.missing,
+    )
+
+
+# ----------------------------------------------------------------------
+# Full pipeline
+# ----------------------------------------------------------------------
+
+def compile_forest(forest: ForestSpec, *, swap: bool = True, cluster: bool = True):
+    """The standard pipeline: hot-swap → cluster → (leveled, packed).
+
+    Returns (compiled ForestSpec, LeveledForest, PackedForest, tree_order).
+    """
+    fc = hot_child_swap(forest) if swap else forest.copy()
+    if cluster:
+        fc, order = cluster_trees(fc)
+    else:
+        order = np.arange(fc.num_trees, dtype=np.int32)
+    packed = pack(fc)
+    packed.tree_order = order.astype(np.int32)
+    return fc, levelize(fc), packed, order

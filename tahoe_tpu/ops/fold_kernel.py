@@ -1,0 +1,306 @@
+"""Fused Pallas select-fold traversal kernel — the performance core.
+
+This kernel is the TPU-native realization of the reference's VMEM-resident
+strategies. One grid cell = (row tile × tree tile); the tile's node tables
+live in VMEM for the whole traversal and margins accumulate across tree tiles
+— structurally the union of the reference's SHARED_FOREST (forest in fast
+memory, Struct.h:1245-1409) and SPLIT_FOREST (tree chunks + partial-sum
+reduction, Struct.h:1414-1606) placements, with ``cub::DeviceSegmentedReduce``
+replaced by in-VMEM accumulation over the inner grid dimension.
+
+Data layout (chosen for the VPU, not translated from CUDA):
+
+- rows on sublanes, nodes on lanes;
+- node tables per level in **bit-reversed node-major flat** order
+  (compiler.levelize + node-major: col = node_index * TR + tree), the TPU
+  rendition of the reference's transposed "reorg" layout
+  (Struct.h:1911-1923) — it makes every fold step a contiguous
+  half-split select along lanes;
+- feature selection is a per-vreg lane gather: ``take_along_axis`` of the
+  row's 128-lane feature vector by the level's static fid columns, chunked in
+  128-node pieces (Mosaic supports gathers from a single source vreg).
+
+Missing-value handling is folded into IEEE compare semantics: the host
+canonicalizes missing features to NaN, and each node precomputes two bits
+  sel_lt = def_right XOR invert,   flip = def_right
+so that ``cond = (sel_lt ? (x < t) : (x >= t)) XOR flip`` reproduces the
+reference's three-way rule (Struct.h:380-403, 894-898) exactly — both
+compares are False for NaN, making the flip bit the missing-route:
+
+  (dr=0,inv=0): x>=t          NaN→False (left)   = !def_left routing
+  (dr=0,inv=1): x< t          NaN→False          = exchange-inverted compare
+  (dr=1,inv=0): !(x<t)        NaN→True  (right)
+  (dr=1,inv=1): !(x>=t)       NaN→True
+
+No is_leaf mask, no exchange decode, no per-lane control flow: ``depth``
+unconditional vectorized select steps per tree tile.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tahoe_tpu.config import MISSING_EPS, TpuLimits
+from tahoe_tpu.forest.spec import LeveledForest
+from tahoe_tpu.ops.transform import apply_output_transform
+
+LANE = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+class FoldKernelEngine:
+    """Compile a LeveledForest into device tables + a fused Pallas predict.
+
+    ``row_tile`` rows × ``tree_tile`` trees per grid cell. Requires
+    num_cols <= 128 (one feature vreg per row) and the tile's node tables to
+    fit VMEM — checked by :meth:`vmem_bytes` against TpuLimits (the analog of
+    the reference's shared-memory feasibility asserts, Struct.h:550-552).
+    """
+
+    def __init__(
+        self,
+        leveled: LeveledForest,
+        *,
+        row_tile: int = 128,
+        tree_tile: int = 64,
+        interpret: bool = False,
+        limits: TpuLimits = TpuLimits(),
+    ):
+        if leveled.num_cols > LANE:
+            raise NotImplementedError(
+                f"FoldKernelEngine supports up to {LANE} features; got "
+                f"{leveled.num_cols} (use TensorEngine or split features)"
+            )
+        self.depth = leveled.depth
+        self.num_trees = leveled.num_trees
+        self.num_cols = leveled.num_cols
+        self.output = leveled.output
+        self.global_bias = leveled.global_bias
+        self.threshold = leveled.threshold
+        self.missing = leveled.missing
+        self.row_tile = row_tile
+        self.tree_tile = min(tree_tile, _round_up(leveled.num_trees, 8))
+        self.interpret = interpret
+
+        need = self.vmem_bytes(leveled.depth, self.row_tile, self.tree_tile)
+        if not interpret and need > limits.usable_vmem:
+            raise ValueError(
+                f"tile needs ~{need/2**20:.1f} MiB VMEM > budget "
+                f"{limits.usable_vmem/2**20:.1f} MiB; shrink row_tile/tree_tile"
+            )
+
+        self._build_tables(leveled)
+        # NOTE: tables are passed as explicit jit arguments, never captured in
+        # the closure — on the axon remote backend, closure-captured device
+        # arrays are re-shipped through the tunnel on every call (~25 ms for
+        # SUSY-size tables), while argument arrays stay device-resident.
+        self._predict = jax.jit(self._predict_impl)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def vmem_bytes(depth: int, row_tile: int, tree_tile: int) -> int:
+        """Rough peak VMEM estimate for feasibility checks: level tables plus
+        the largest live w buffer and its successor (Mosaic reuses the rest)."""
+        nodes = (1 << depth) - 1
+        tables = tree_tile * (nodes * (4 + 4 + 1 + 1) + (1 << depth) * 4)
+        w_top = row_tile * (1 << max(depth - 1, 0)) * tree_tile * 4
+        return int(tables + w_top + w_top // 2 + row_tile * LANE * 8)
+
+    # ------------------------------------------------------------------
+    def _build_tables(self, lev: LeveledForest) -> None:
+        T = lev.num_trees
+        TR = self.tree_tile
+        Tp = _round_up(max(T, TR), TR)
+        self.padded_trees = Tp
+        D = lev.depth
+
+        def pad_tree_axis(a, fill):
+            if a.shape[0] == Tp:
+                return a
+            pad = np.full((Tp - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
+            return np.concatenate([a, pad], axis=0)
+
+        def tile_node_major(a, fill):
+            """[Tp, n] → flat [1, ntiles*seg] ordered (tile, node_j, tree_in_tile)
+            — per-tile node-major, the tile-local rendition of the reference's
+            transposed "reorg" layout. Within a tile, col = j*TR + tr, so the
+            fold's half-splits on j are contiguous. Each tile segment is padded
+            to a 128-lane multiple (Pallas block-shape constraint); the kernel
+            reads only the first n*TR columns."""
+            n = a.shape[1]
+            t = np.ascontiguousarray(a.reshape(Tp // TR, TR, n).transpose(0, 2, 1))
+            t = t.reshape(Tp // TR, n * TR)
+            seg = _round_up(n * TR, LANE)
+            if seg != n * TR:
+                padb = np.full((Tp // TR, seg - n * TR), fill, dtype=a.dtype)
+                t = np.concatenate([t, padb], axis=1)
+            return t.reshape(1, -1)
+
+        self.seg = [_round_up((1 << d) * TR, LANE) for d in range(D)]
+        self.leaf_seg = _round_up((1 << D) * TR, LANE)
+        thresh, fid, sel_lt, flip = [], [], [], []
+        for d in range(D):
+            th = pad_tree_axis(lev.thresh[d], np.float32(np.nan))
+            fd = pad_tree_axis(lev.fid[d], np.int32(0))
+            dr = pad_tree_axis(lev.def_right[d], False)
+            iv = pad_tree_axis(lev.invert[d], False)
+            thresh.append(jnp.asarray(tile_node_major(th, np.float32(np.nan))))
+            fid.append(jnp.asarray(tile_node_major(fd, np.int32(0))))
+            sel_lt.append(
+                jnp.asarray(tile_node_major((dr ^ iv).astype(np.int32), np.int32(0)))
+            )
+            flip.append(
+                jnp.asarray(tile_node_major(dr.astype(np.int32), np.int32(0)))
+            )
+        leaf = pad_tree_axis(lev.leaf_values, np.float32(0))
+        # one flat tuple pytree, passed as a jit argument on every call
+        self.tables = (*thresh, *fid, *sel_lt, *flip,
+                       jnp.asarray(tile_node_major(leaf, np.float32(0))))
+
+    # ------------------------------------------------------------------
+    def _canonicalize(self, x):
+        """Pad features to 128 lanes and map missing values to NaN."""
+        x = x.astype(jnp.float32)
+        if np.isnan(np.float32(self.missing)):
+            miss = jnp.isnan(x)
+        else:
+            miss = jnp.abs(x - jnp.float32(self.missing)) <= jnp.float32(MISSING_EPS)
+        x = jnp.where(miss, jnp.float32(np.nan), x)
+        pad = LANE - x.shape[1]
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad)))
+        return x
+
+    # ------------------------------------------------------------------
+    def _kernel(self, x_ref, *refs):
+        D = self.depth
+        TR = self.tree_tile
+        Rt = self.row_tile
+        th_refs = refs[0:D]
+        fid_refs = refs[D : 2 * D]
+        sel_refs = refs[2 * D : 3 * D]
+        flip_refs = refs[3 * D : 4 * D]
+        leaf_ref = refs[4 * D]
+        out_ref = refs[4 * D + 1]
+
+        x = x_ref[:]  # [Rt, 128] NaN-canonicalized features
+
+        def level_cond(d, n):
+            """Branch conditions for the n live node columns of level d.
+
+            Chunked in 128-lane pieces: the lane gather needs a single source
+            vreg, so each chunk gathers from the row's one feature vreg.
+            Table segments are 128-padded (NaN thresholds → cond False), so
+            full-vreg reads are always in bounds; the result is cut to n.
+            """
+            parts = []
+            for c0 in range(0, _round_up(n, LANE), LANE):
+                idx = jnp.broadcast_to(fid_refs[d][:, c0 : c0 + LANE], (Rt, LANE))
+                xv = jnp.take_along_axis(x, idx, axis=1)
+                th = th_refs[d][:, c0 : c0 + LANE]
+                # compare results kept in int32: Mosaic rejects select/xor on
+                # i1 vectors ("unsupported target bitwidth for truncation")
+                ge = (xv >= th).astype(jnp.int32)
+                lt = (xv < th).astype(jnp.int32)
+                r = jnp.where(sel_refs[d][:, c0 : c0 + LANE] != 0, lt, ge)
+                parts.append(r != flip_refs[d][:, c0 : c0 + LANE])
+            cond = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            return cond[:, :n]
+
+        # bottom-up select-fold; all half-splits are contiguous thanks to the
+        # bit-reversed node-major layout
+        w = None
+        for d in range(D - 1, -1, -1):
+            n = (1 << d) * TR  # nodes in this level * trees
+            cond = level_cond(d, n)
+            if w is None:
+                lo = jnp.broadcast_to(leaf_ref[:, :n], (Rt, n))
+                hi = jnp.broadcast_to(leaf_ref[:, n : 2 * n], (Rt, n))
+            else:
+                lo, hi = w[:, :n], w[:, n:]
+            w = jnp.where(cond, hi, lo)
+
+        if w is None:  # depth 0
+            w = jnp.broadcast_to(leaf_ref[:, :TR], (Rt, TR))
+
+        partial = jnp.sum(w, axis=1, keepdims=True)  # [Rt, 1]
+
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            out_ref[:] = partial
+
+        @pl.when(t != 0)
+        def _acc():
+            out_ref[:] = out_ref[:] + partial
+
+    # ------------------------------------------------------------------
+    def _margins_padded(self, tables, x_pad):
+        D = self.depth
+        TR = self.tree_tile
+        Rt = self.row_tile
+        Tp = self.padded_trees
+        rows = x_pad.shape[0]
+        grid = (rows // Rt, Tp // TR)
+
+        in_specs = [pl.BlockSpec((Rt, LANE), lambda r, t: (r, 0),
+                                 memory_space=pltpu.VMEM)]
+        for _ in range(4):  # thresh, fid, sel, flip share the segment shapes
+            for d in range(D):
+                in_specs += [pl.BlockSpec((1, self.seg[d]), lambda r, t: (0, t),
+                                          memory_space=pltpu.VMEM)]
+        in_specs += [pl.BlockSpec((1, self.leaf_seg), lambda r, t: (0, t),
+                                  memory_space=pltpu.VMEM)]
+
+        out_spec = pl.BlockSpec((Rt, 1), lambda r, t: (r, 0),
+                                memory_space=pltpu.VMEM)
+
+        margins = pl.pallas_call(
+            self._kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+            interpret=self.interpret,
+        )(x_pad, *tables)
+        return margins[:, 0]
+
+    def _predict_impl(self, tables, data):
+        rows = data.shape[0]
+        x = self._canonicalize(data)
+        pad = (-rows) % self.row_tile
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, LANE), jnp.float32)], axis=0)
+        margins = self._margins_padded(tables, x)[:rows]
+        return apply_output_transform(
+            margins, self.num_trees, self.output, self.global_bias,
+            self.threshold, jnp,
+        )
+
+    # ------------------------------------------------------------------
+    def predict(self, data) -> jax.Array:
+        return self._predict(self.tables, jnp.asarray(data))
+
+    def margins(self, data) -> jax.Array:
+        data = jnp.asarray(data, dtype=jnp.float32)
+        rows = data.shape[0]
+        x = self._canonicalize(data)
+        pad = (-rows) % self.row_tile
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, LANE), jnp.float32)], axis=0)
+        return self._margins_padded(self.tables, x)[:rows]
