@@ -1,0 +1,57 @@
+"""Per-strategy feasibility predicates.
+
+The reference pre-checks shared-memory feasibility before benchmarking
+strategies 4/5 and skips infeasible ones with acc=FLT_MAX
+(BaseTahoeTest.h:657-679; hard asserts in kernels, Struct.h:550-552). The TPU
+analog: VMEM budgets for the Pallas tile strategies, feature-lane limits for
+the fold kernel, and memory sanity for the jnp engines.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from tahoe_tpu.config import Strategy, TpuLimits, tree_num_nodes
+from tahoe_tpu.forest.spec import ForestSpec
+from tahoe_tpu.ops.fold_kernel import LANE, FoldKernelEngine
+
+
+def default_tiles(strategy: Strategy, forest: ForestSpec,
+                  limits: TpuLimits = TpuLimits()) -> Tuple[int, int]:
+    """(row_tile, tree_tile) defaults per strategy.
+
+    VMEM_FOREST pins the whole forest per grid cell (SHARED_FOREST analog);
+    SPLIT_FOREST chunks trees (SPLIT_FOREST analog). Row tiles then shrink to
+    fit the budget.
+    """
+    trees = forest.num_trees
+    if strategy == Strategy.VMEM_FOREST:
+        tree_tile = max(8, trees)
+    else:
+        tree_tile = min(64, max(8, trees))
+    row_tile = 256
+    while row_tile > 8 and FoldKernelEngine.vmem_bytes(
+        forest.depth, row_tile, tree_tile
+    ) > limits.usable_vmem:
+        row_tile //= 2
+    return row_tile, tree_tile
+
+
+def check(strategy: Strategy, forest: ForestSpec,
+          limits: TpuLimits = TpuLimits()) -> Optional[str]:
+    """None if feasible, else a human-readable reason (the strategy is then
+    skipped with cost=inf, mirroring the reference's acc=FLT_MAX)."""
+    if strategy in (Strategy.VMEM_FOREST, Strategy.SPLIT_FOREST):
+        if forest.num_cols > LANE:
+            return f"fold kernel needs <= {LANE} features, forest has {forest.num_cols}"
+        row_tile, tree_tile = default_tiles(strategy, forest, limits)
+        need = FoldKernelEngine.vmem_bytes(forest.depth, row_tile, tree_tile)
+        if need > limits.usable_vmem:
+            return (
+                f"needs ~{need / 2**20:.1f} MiB VMEM per tile "
+                f"(budget {limits.usable_vmem / 2**20:.1f} MiB)"
+            )
+    if strategy in (Strategy.TENSOR, Strategy.ROW_TILED):
+        # leveled form materializes 2^depth leaves per tree
+        if forest.depth > 14:
+            return f"leveled form of depth {forest.depth} is too large"
+    return None

@@ -47,11 +47,28 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from typing import NamedTuple, Tuple
+
 from tahoe_tpu.config import MISSING_EPS, TpuLimits
 from tahoe_tpu.forest.spec import LeveledForest
 from tahoe_tpu.ops.transform import apply_output_transform
 
 LANE = 128
+
+
+class FoldConfig(NamedTuple):
+    """Static (hashable) kernel configuration — everything the pure functional
+    kernel needs besides the table arrays. Shardable: the distributed layer
+    builds one FoldConfig per tree shard and calls :func:`fold_margins` inside
+    shard_map."""
+
+    depth: int
+    row_tile: int
+    tree_tile: int
+    padded_trees: int
+    seg: Tuple[int, ...]
+    leaf_seg: int
+    interpret: bool = False
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -109,6 +126,7 @@ class FoldKernelEngine:
         # arrays are re-shipped through the tunnel on every call (~25 ms for
         # SUSY-size tables), while argument arrays stay device-resident.
         self._predict = jax.jit(self._predict_impl)
+        self._predict_k = jax.jit(self._chain_impl, static_argnames=("k",))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -170,6 +188,11 @@ class FoldKernelEngine:
         # one flat tuple pytree, passed as a jit argument on every call
         self.tables = (*thresh, *fid, *sel_lt, *flip,
                        jnp.asarray(tile_node_major(leaf, np.float32(0))))
+        self.cfg = FoldConfig(
+            depth=D, row_tile=self.row_tile, tree_tile=TR, padded_trees=Tp,
+            seg=tuple(self.seg), leaf_seg=self.leaf_seg,
+            interpret=self.interpret,
+        )
 
     # ------------------------------------------------------------------
     def _canonicalize(self, x):
@@ -186,10 +209,57 @@ class FoldKernelEngine:
         return x
 
     # ------------------------------------------------------------------
-    def _kernel(self, x_ref, *refs):
-        D = self.depth
-        TR = self.tree_tile
-        Rt = self.row_tile
+    def _margins_padded(self, tables, x_pad):
+        return fold_margins(self.cfg, tables, x_pad)
+
+    def _predict_impl(self, tables, data):
+        rows = data.shape[0]
+        x = self._canonicalize(data)
+        pad = (-rows) % self.row_tile
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, LANE), jnp.float32)], axis=0)
+        margins = self._margins_padded(tables, x)[:rows]
+        return apply_output_transform(
+            margins, self.num_trees, self.output, self.global_bias,
+            self.threshold, jnp,
+        )
+
+    def _chain_impl(self, tables, data, k):
+        """k serialized predicts in one dispatch (honest timing harness)."""
+        def body(_, acc):
+            return self._predict_impl(tables, data + acc[0] * 0.0)
+
+        return jax.lax.fori_loop(
+            0, k, body, jnp.zeros(data.shape[0], jnp.float32)
+        )
+
+    # ------------------------------------------------------------------
+    def predict(self, data) -> jax.Array:
+        return self._predict(self.tables, jnp.asarray(data))
+
+    def predict_k(self, data, k: int) -> jax.Array:
+        return self._predict_k(self.tables, jnp.asarray(data), k=k)
+
+    def margins(self, data) -> jax.Array:
+        data = jnp.asarray(data, dtype=jnp.float32)
+        rows = data.shape[0]
+        x = self._canonicalize(data)
+        pad = (-rows) % self.row_tile
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, LANE), jnp.float32)], axis=0)
+        return self._margins_padded(self.tables, x)[:rows]
+
+
+# ---------------------------------------------------------------------------
+# Pure functional core (shard_map-compatible)
+# ---------------------------------------------------------------------------
+
+def _make_kernel(cfg: FoldConfig):
+    D = cfg.depth
+    TR = cfg.tree_tile
+    Rt = cfg.row_tile
+
+    def kernel(x_ref, *refs):
         th_refs = refs[0:D]
         fid_refs = refs[D : 2 * D]
         sel_refs = refs[2 * D : 3 * D]
@@ -249,58 +319,53 @@ class FoldKernelEngine:
         def _acc():
             out_ref[:] = out_ref[:] + partial
 
-    # ------------------------------------------------------------------
-    def _margins_padded(self, tables, x_pad):
-        D = self.depth
-        TR = self.tree_tile
-        Rt = self.row_tile
-        Tp = self.padded_trees
-        rows = x_pad.shape[0]
-        grid = (rows // Rt, Tp // TR)
+    return kernel
 
-        in_specs = [pl.BlockSpec((Rt, LANE), lambda r, t: (r, 0),
-                                 memory_space=pltpu.VMEM)]
-        for _ in range(4):  # thresh, fid, sel, flip share the segment shapes
-            for d in range(D):
-                in_specs += [pl.BlockSpec((1, self.seg[d]), lambda r, t: (0, t),
-                                          memory_space=pltpu.VMEM)]
-        in_specs += [pl.BlockSpec((1, self.leaf_seg), lambda r, t: (0, t),
-                                  memory_space=pltpu.VMEM)]
 
-        out_spec = pl.BlockSpec((Rt, 1), lambda r, t: (r, 0),
-                                memory_space=pltpu.VMEM)
+def fold_margins(cfg: FoldConfig, tables, x_pad):
+    """Raw margins [rows] for 128-lane-padded, NaN-canonicalized rows.
 
-        margins = pl.pallas_call(
-            self._kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
-            interpret=self.interpret,
-        )(x_pad, *tables)
-        return margins[:, 0]
+    Pure function of (static cfg, table pytree, data) — usable directly under
+    jit, shard_map, or vmap-of-shards.
+    """
+    D = cfg.depth
+    Rt = cfg.row_tile
+    rows = x_pad.shape[0]
+    grid = (rows // Rt, cfg.padded_trees // cfg.tree_tile)
 
-    def _predict_impl(self, tables, data):
-        rows = data.shape[0]
-        x = self._canonicalize(data)
-        pad = (-rows) % self.row_tile
-        if pad:
-            x = jnp.concatenate([x, jnp.zeros((pad, LANE), jnp.float32)], axis=0)
-        margins = self._margins_padded(tables, x)[:rows]
-        return apply_output_transform(
-            margins, self.num_trees, self.output, self.global_bias,
-            self.threshold, jnp,
-        )
+    in_specs = [pl.BlockSpec((Rt, LANE), lambda r, t: (r, 0),
+                             memory_space=pltpu.VMEM)]
+    for _ in range(4):  # thresh, fid, sel, flip share the segment shapes
+        for d in range(D):
+            in_specs += [pl.BlockSpec((1, cfg.seg[d]), lambda r, t: (0, t),
+                                      memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec((1, cfg.leaf_seg), lambda r, t: (0, t),
+                              memory_space=pltpu.VMEM)]
 
-    # ------------------------------------------------------------------
-    def predict(self, data) -> jax.Array:
-        return self._predict(self.tables, jnp.asarray(data))
+    out_spec = pl.BlockSpec((Rt, 1), lambda r, t: (r, 0),
+                            memory_space=pltpu.VMEM)
 
-    def margins(self, data) -> jax.Array:
-        data = jnp.asarray(data, dtype=jnp.float32)
-        rows = data.shape[0]
-        x = self._canonicalize(data)
-        pad = (-rows) % self.row_tile
-        if pad:
-            x = jnp.concatenate([x, jnp.zeros((pad, LANE), jnp.float32)], axis=0)
-        return self._margins_padded(self.tables, x)[:rows]
+    margins = pl.pallas_call(
+        _make_kernel(cfg),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        interpret=cfg.interpret,
+    )(x_pad, *tables)
+    return margins[:, 0]
+
+
+def canonicalize_rows(x, missing: float, num_cols: int):
+    """Standalone row canonicalization (mirrors FoldKernelEngine._canonicalize)
+    for the distributed layer."""
+    x = x.astype(jnp.float32)
+    if np.isnan(np.float32(missing)):
+        miss = jnp.isnan(x)
+    else:
+        miss = jnp.abs(x - jnp.float32(missing)) <= jnp.float32(MISSING_EPS)
+    x = jnp.where(miss, jnp.float32(np.nan), x)
+    pad = LANE - x.shape[1]
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x

@@ -45,8 +45,6 @@ class GatherEngine:
         # Node-major tables [N, T]: lanes (minor dim) run over trees so each
         # level's gather reads a dense [2^d, T] stripe — the TPU analog of the
         # reference's coalesced "reorg" layout (Struct.h:1911-1923).
-        self.values = jnp.asarray(forest.values.T)
-        self.fids = jnp.asarray(forest.fids.T)
         # Pack the three flag bits into one i32 word to halve gather traffic:
         # bit0 def_left, bit1 is_leaf, bit2 exchange.
         flags = (
@@ -54,18 +52,36 @@ class GatherEngine:
             | (forest.is_leaf.astype(np.int32) << 1)
             | (forest.exchange.astype(np.int32) << 2)
         )
-        self.flags = jnp.asarray(flags.T)
+        # tables as an explicit jit-argument pytree (never closure-captured:
+        # the axon backend re-ships closure device arrays per call)
+        self.tables = (
+            jnp.asarray(forest.values.T),
+            jnp.asarray(forest.fids.T),
+            jnp.asarray(flags.T),
+        )
         self._predict = jax.jit(self._predict_impl)
+        self._predict_k = jax.jit(self._chain_impl, static_argnames=("k",))
 
     # ------------------------------------------------------------------
-    def _predict_impl(self, data):
-        margins = self.margins(data)
+    def _predict_impl(self, tables, data):
+        margins = self._margins_impl(tables, data)
         return apply_output_transform(
             margins, self.num_trees, self.output, self.global_bias,
             self.threshold, jnp,
         )
 
-    def margins(self, data):
+    def _chain_impl(self, tables, data, k):
+        """k serialized predicts (acc feeds a zero back into the input) — the
+        honest timing harness: one dispatch+sync per k device executions."""
+        def body(_, acc):
+            return self._predict_impl(tables, data + acc[0] * 0.0)
+
+        return jax.lax.fori_loop(
+            0, k, body, jnp.zeros(data.shape[0], jnp.float32)
+        )
+
+    def _margins_impl(self, tables, data):
+        values, fids, flags_t = tables
         data = data.astype(jnp.float32)
         rows = data.shape[0]
         curr = jnp.zeros((rows, self.num_trees), dtype=jnp.int32)
@@ -74,9 +90,9 @@ class GatherEngine:
         # for every (row, tree) lane and advances curr = 2*curr+1+cond, masked
         # by is_leaf — the vectorized form of Struct.h:365-403.
         for _ in range(self.depth):
-            thresh = jnp.take_along_axis(self.values, curr, axis=0)
-            fid = jnp.take_along_axis(self.fids, curr, axis=0)
-            flags = jnp.take_along_axis(self.flags, curr, axis=0)
+            thresh = jnp.take_along_axis(values, curr, axis=0)
+            fid = jnp.take_along_axis(fids, curr, axis=0)
+            flags = jnp.take_along_axis(flags_t, curr, axis=0)
             def_left = (flags & 1).astype(bool)
             node_leaf = (flags & 2).astype(bool)
             exch = (flags & 4).astype(bool)
@@ -88,12 +104,18 @@ class GatherEngine:
             nxt = 2 * curr + 1 + cond.astype(jnp.int32)
             curr = jnp.where(node_leaf, curr, nxt)
 
-        leaf_vals = jnp.take_along_axis(self.values, curr, axis=0)
+        leaf_vals = jnp.take_along_axis(values, curr, axis=0)
         return leaf_vals.sum(axis=1, dtype=jnp.float32)
 
     # ------------------------------------------------------------------
     def predict(self, data) -> jax.Array:
-        return self._predict(jnp.asarray(data))
+        return self._predict(self.tables, jnp.asarray(data))
+
+    def predict_k(self, data, k: int) -> jax.Array:
+        return self._predict_k(self.tables, jnp.asarray(data), k=k)
+
+    def margins(self, data):
+        return self._margins_impl(self.tables, jnp.asarray(data))
 
 
 @partial(jax.jit, static_argnames=("depth", "missing_is_nan"))

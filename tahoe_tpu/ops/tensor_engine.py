@@ -70,18 +70,26 @@ class TensorEngine:
         self.select_mode = select_mode
         self.row_tile = row_tile
 
-        self.thresh = [jnp.asarray(t) for t in leveled.thresh]
-        self.invert = [jnp.asarray(v) for v in leveled.invert]
-        self.def_right = [jnp.asarray(v) for v in leveled.def_right]
-        self.leaf_values = jnp.asarray(leveled.leaf_values)
         self._any_invert = [bool(v.any()) for v in leveled.invert]
+        D = leveled.depth
+        # tables as an explicit jit-argument pytree (never closure-captured:
+        # the axon backend re-ships closure device arrays per call)
         if select_mode == "take":
-            self.fid_flat = [jnp.asarray(f.reshape(-1)) for f in leveled.fid]
+            sel = [jnp.asarray(f.reshape(-1)) for f in leveled.fid]
         else:
-            self.select_onehot = [
-                jnp.asarray(_onehot_matrix(f, leveled.num_cols)) for f in leveled.fid
+            sel = [
+                jnp.asarray(_onehot_matrix(f, leveled.num_cols))
+                for f in leveled.fid
             ]
+        self.tables = (
+            tuple(jnp.asarray(t) for t in leveled.thresh),
+            tuple(jnp.asarray(v) for v in leveled.invert),
+            tuple(jnp.asarray(v) for v in leveled.def_right),
+            jnp.asarray(leveled.leaf_values),
+            tuple(sel),
+        )
         self._predict = jax.jit(self._predict_impl)
+        self._predict_k = jax.jit(self._chain_impl, static_argnames=("k",))
 
     # ------------------------------------------------------------------
     def _missing(self, x):
@@ -89,14 +97,14 @@ class TensorEngine:
             return jnp.isnan(x)
         return jnp.abs(x - jnp.float32(self.missing)) <= jnp.float32(MISSING_EPS)
 
-    def _level_inputs_take(self, d, x, miss):
+    def _level_inputs_take(self, d, sel, x, miss):
         """(xv, mv) for level d via static-index take."""
         shape = (x.shape[0], self.num_trees, 1 << d)
-        xv = jnp.take(x, self.fid_flat[d], axis=1).reshape(shape)
-        mv = jnp.take(miss, self.fid_flat[d], axis=1).reshape(shape)
+        xv = jnp.take(x, sel[d], axis=1).reshape(shape)
+        mv = jnp.take(miss, sel[d], axis=1).reshape(shape)
         return xv, mv
 
-    def _level_inputs_onehot(self, d, stacked, rt):
+    def _level_inputs_onehot(self, d, sel, stacked, rt):
         """(xv, mv) for level d via one-hot MXU matmul.
 
         ``stacked`` is [2*Rt, F]: rows then missing flags, so one matmul feeds
@@ -104,7 +112,7 @@ class TensorEngine:
         """
         out = jax.lax.dot_general(
             stacked,
-            self.select_onehot[d],
+            sel[d],
             (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -114,8 +122,9 @@ class TensorEngine:
         return xv, mv.reshape(shape)
 
     # ------------------------------------------------------------------
-    def _margins_chunk(self, x):
+    def _margins_chunk(self, tables, x):
         """Margins for one row chunk [Rt, F] → [Rt]."""
+        thresh, invert, def_right, leaf_values, sel = tables
         rt = x.shape[0]
         miss = self._missing(x)
         if self.select_mode == "onehot":
@@ -125,25 +134,25 @@ class TensorEngine:
         w = None
         for d in range(self.depth - 1, -1, -1):
             if self.select_mode == "take":
-                xv, mv = self._level_inputs_take(d, x, miss)
+                xv, mv = self._level_inputs_take(d, sel, x, miss)
             else:
-                xv, mv = self._level_inputs_onehot(d, stacked, rt)
-            cmp = xv >= self.thresh[d][None]
+                xv, mv = self._level_inputs_onehot(d, sel, stacked, rt)
+            cmp = xv >= thresh[d][None]
             if self._any_invert[d]:
-                cmp = cmp ^ self.invert[d][None]
-            cond = jnp.where(mv, self.def_right[d][None], cmp)
+                cmp = cmp ^ invert[d][None]
+            cond = jnp.where(mv, def_right[d][None], cmp)
             half = 1 << d
             if w is None:
-                lv = self.leaf_values[None]
+                lv = leaf_values[None]
                 w = jnp.where(cond, lv[:, :, half:], lv[:, :, :half])
             else:
                 w = jnp.where(cond, w[..., half:], w[..., :half])
 
         if w is None:  # depth 0: forest of stumps
-            return jnp.broadcast_to(self.leaf_values[:, 0].sum(), (rt,))
+            return jnp.broadcast_to(leaf_values[:, 0].sum(), (rt,))
         return w[..., 0].sum(axis=1, dtype=jnp.float32)
 
-    def _predict_impl(self, data):
+    def _predict_impl(self, tables, data):
         data = data.astype(jnp.float32)
         rows = data.shape[0]
         tile = self.row_tile
@@ -153,17 +162,30 @@ class TensorEngine:
                 [data, jnp.zeros((pad, data.shape[1]), jnp.float32)], axis=0
             )
         chunks = data.reshape(-1, tile, data.shape[1])
-        margins = jax.lax.map(self._margins_chunk, chunks).reshape(-1)[:rows]
+        margins = jax.lax.map(
+            lambda c: self._margins_chunk(tables, c), chunks
+        ).reshape(-1)[:rows]
         return apply_output_transform(
             margins, self.num_trees, self.output, self.global_bias,
             self.threshold, jnp,
+        )
+
+    def _chain_impl(self, tables, data, k):
+        def body(_, acc):
+            return self._predict_impl(tables, data + acc[0] * 0.0)
+
+        return jax.lax.fori_loop(
+            0, k, body, jnp.zeros(data.shape[0], jnp.float32)
         )
 
     # ------------------------------------------------------------------
     def margins(self, data) -> jax.Array:
         """Raw margins (pre-transform), mainly for tests."""
         data = jnp.asarray(data, dtype=jnp.float32)
-        return self._margins_chunk(data)
+        return self._margins_chunk(self.tables, data)
 
     def predict(self, data) -> jax.Array:
-        return self._predict(jnp.asarray(data))
+        return self._predict(self.tables, jnp.asarray(data))
+
+    def predict_k(self, data, k: int) -> jax.Array:
+        return self._predict_k(self.tables, jnp.asarray(data), k=k)

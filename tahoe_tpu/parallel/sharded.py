@@ -1,0 +1,164 @@
+"""Sharded inference: batch-sharded, tree-sharded, and 2-D composed.
+
+Built on shard_map over a ``(data, model)`` Mesh (mesh.py). Rows shard over
+``data`` with zero communication; trees shard over ``model`` and per-shard
+margins combine with a single f32 ``psum`` over ICI after traversal — the
+cheapest possible collective pattern for this workload (one scalar per row),
+matching BASELINE.json's "psum of per-tree margins" north star.
+
+Each device runs the same fused Pallas select-fold kernel on its (row shard ×
+tree shard); numerics match the single-chip engine to reduction order
+(psum changes the tree-sum association, covered by the oracle tolerance,
+cuda_base.h:103).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from tahoe_tpu.forest.spec import LeveledForest
+from tahoe_tpu.ops.fold_kernel import (
+    LANE,
+    FoldConfig,
+    FoldKernelEngine,
+    canonicalize_rows,
+    fold_margins,
+    _round_up,
+)
+from tahoe_tpu.ops.transform import apply_output_transform
+
+
+class ShardedForestEngine:
+    """Fold-kernel inference over a device mesh.
+
+    ``mesh`` must have axes ("data", "model"); either may be size 1. Trees are
+    split into ``mesh.shape['model']`` equal shards at table-build time (tree
+    padding makes them equal); rows are sharded over "data" per call.
+    """
+
+    def __init__(self, leveled: LeveledForest, mesh: Mesh, *,
+                 row_tile: int = 128, tree_tile: int = 64,
+                 interpret: Optional[bool] = None):
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.mesh = mesh
+        self.n_data = mesh.shape["data"]
+        self.n_model = mesh.shape["model"]
+        self.depth = leveled.depth
+        self.num_trees = leveled.num_trees
+        self.num_cols = leveled.num_cols
+        self.output = leveled.output
+        self.global_bias = leveled.global_bias
+        self.threshold = leveled.threshold
+        self.missing = leveled.missing
+        self.row_tile = row_tile
+
+        # Build one single-chip engine to reuse its table layout logic, with
+        # the tree axis padded so every model shard holds the same tile count.
+        shard_trees = _round_up(
+            _round_up(max(leveled.num_trees, tree_tile), tree_tile),
+            tree_tile * self.n_model,
+        ) // self.n_model
+        self._base = FoldKernelEngine(
+            leveled, row_tile=row_tile,
+            tree_tile=min(tree_tile, shard_trees), interpret=interpret,
+        )
+        base_cfg = self._base.cfg
+        tiles_total = base_cfg.padded_trees // base_cfg.tree_tile
+        if tiles_total % self.n_model:
+            # re-pad: rebuild with a tree count divisible by n_model shards
+            import dataclasses
+
+            from tahoe_tpu.forest import compiler  # noqa: F401 (doc pointer)
+
+            raise ValueError(
+                f"{tiles_total} tree tiles not divisible by model axis "
+                f"{self.n_model}; choose tree_tile so tiles divide evenly"
+            )
+        self.tiles_per_shard = tiles_total // self.n_model
+
+        # Per-shard cfg: same tiling, fewer padded trees per device.
+        self.cfg = FoldConfig(
+            depth=base_cfg.depth,
+            row_tile=base_cfg.row_tile,
+            tree_tile=base_cfg.tree_tile,
+            padded_trees=base_cfg.padded_trees // self.n_model,
+            seg=base_cfg.seg,
+            leaf_seg=base_cfg.leaf_seg,
+            interpret=base_cfg.interpret,
+        )
+
+        # Reshape each flat table [1, ntiles*seg] → [n_model, shard_cols] so
+        # shard_map's P("model", None) hands each device its tree shard.
+        def split(t, seg):
+            flat = np.asarray(t).reshape(tiles_total, seg)
+            return jnp.asarray(
+                flat.reshape(self.n_model, self.tiles_per_shard * seg)
+            )
+
+        D = self.depth
+        segs = list(base_cfg.seg) * 4 + [base_cfg.leaf_seg]
+        self.tables = tuple(
+            split(t, segs[i]) for i, t in enumerate(self._base.tables)
+        )
+
+        self._predict = jax.jit(self._predict_impl)
+
+    # ------------------------------------------------------------------
+    def _predict_impl(self, tables, data):
+        rows = data.shape[0]
+        x = canonicalize_rows(data, self.missing, self.num_cols)
+        block = self.row_tile * self.n_data
+        pad = (-rows) % block
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, LANE), jnp.float32)], axis=0)
+
+        cfg = self.cfg
+
+        def local_fn(tables_local, x_local):
+            # tables_local leaves [1, shard_cols] — already kernel layout
+            m = fold_margins(cfg, tables_local, x_local)
+            if self.n_model > 1:
+                # cross-chip margin combine: the distributed
+                # DeviceSegmentedReduce (one psum of f32 per row over ICI)
+                m = jax.lax.psum(m, "model")
+            return m
+
+        shard = shard_map(
+            local_fn,
+            mesh=self.mesh,
+            in_specs=(
+                jax.tree.map(lambda _: P("model", None), tables),
+                P("data", None),
+            ),
+            out_specs=P("data"),
+            # pallas_call's ShapeDtypeStruct carries no varying-mesh-axes
+            # annotation; disable the vma check rather than threading it
+            check_vma=False,
+        )
+        margins = shard(tables, x)[:rows]
+        return apply_output_transform(
+            margins, self.num_trees, self.output, self.global_bias,
+            self.threshold, jnp,
+        )
+
+    # ------------------------------------------------------------------
+    def predict(self, data) -> jax.Array:
+        return self._predict(self.tables, jnp.asarray(data, jnp.float32))
+
+
+def batch_sharded_put(data, mesh: Mesh):
+    """Place rows across the data axis ahead of time (multi-host input path)."""
+    return jax.device_put(
+        jnp.asarray(data, jnp.float32), NamedSharding(mesh, P("data", None))
+    )

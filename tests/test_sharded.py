@@ -1,0 +1,57 @@
+"""Distributed inference on the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+from tahoe_tpu.forest import compiler, synthetic
+from tahoe_tpu.ops import oracle
+from tahoe_tpu.parallel.mesh import make_mesh
+from tahoe_tpu.parallel.sharded import ShardedForestEngine, batch_sharded_put
+
+
+@pytest.fixture(scope="module")
+def setup():
+    forest = synthetic.generate_forest(48, 4, 12, leaf_prob=0.1, seed=101)
+    data = synthetic.generate_data(96, 12, missing_prob=0.1, seed=102)
+    lev = compiler.levelize(forest)
+    want = oracle.predict(forest, data)
+    return forest, lev, data, want
+
+
+def test_batch_sharded(setup):
+    _, lev, data, want = setup
+    mesh = make_mesh(data=4, model=1)
+    eng = ShardedForestEngine(lev, mesh, row_tile=8, tree_tile=16)
+    got = np.asarray(eng.predict(data))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_tree_sharded_psum(setup):
+    _, lev, data, want = setup
+    mesh = make_mesh(data=1, model=3)  # 48 trees / tile 16 = 3 tiles → 3 shards
+    eng = ShardedForestEngine(lev, mesh, row_tile=8, tree_tile=16)
+    got = np.asarray(eng.predict(data))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_2d_mesh(setup):
+    _, lev, data, want = setup
+    mesh = make_mesh(data=2, model=3)
+    eng = ShardedForestEngine(lev, mesh, row_tile=8, tree_tile=16)
+    got = np.asarray(eng.predict(data))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_presharded_input(setup):
+    _, lev, data, want = setup
+    mesh = make_mesh(data=4, model=2)
+    eng = ShardedForestEngine(lev, mesh, row_tile=8, tree_tile=8)
+    data_sharded = batch_sharded_put(data, mesh)
+    got = np.asarray(eng.predict(data_sharded))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_uneven_shard_rejected(setup):
+    _, lev, _, _ = setup
+    mesh = make_mesh(data=1, model=5)
+    with pytest.raises(ValueError, match="divisible|divide"):
+        ShardedForestEngine(lev, mesh, row_tile=8, tree_tile=16)
