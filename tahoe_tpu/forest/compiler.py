@@ -268,6 +268,58 @@ def levelize(forest: ForestSpec) -> LeveledForest:
 
 
 # ----------------------------------------------------------------------
+# Pass 6: ge-normalization (single-compare form)
+# ----------------------------------------------------------------------
+
+def ge_normalize(lev: LeveledForest):
+    """LeveledForest → single-compare form: every node's routing becomes
+    ``ge(x'[fid'], t')`` with NO def_right/invert decode at runtime.
+
+    The effective condition is ``miss ? def_right : (x >= t) ^ invert``
+    (Struct.h:380-403, 894-898). Each of the four (def_right, invert) classes
+    reduces to one IEEE >= compare through two compile-time rewrites:
+
+    - **negated-feature lane** (when def_right ^ invert): rows carry [x, -x];
+      ``x < t  ⇔  -x >= nextafter(-t, +inf)`` exactly (f32 is discrete), and
+      NaN fails both lanes' compares;
+    - **subtree mirror** (when def_right): swap the node's child subtrees at
+      compile time so the compare's False branch is the missing route. In
+      bit-reversed coordinates a mirror at (d, p) is just
+      ``perm[d+1][p + b*2^d] = perm[d][p] + (b ^ 1)*2^d`` — position-bit
+      flips, composed level by level.
+
+    Class table (neg = use -x lane + nextafter threshold, swap = mirror):
+      (dr=0, inv=0): plain ge            (dr=0, inv=1): neg
+      (dr=1, inv=0): neg + swap          (dr=1, inv=1): swap
+
+    Returns (fid_levels, thresh_levels, leaf_values): fid entries >= num_cols
+    select the negated lane (fid' = fid + num_cols). Requires
+    2*num_cols <= 128 for the fused kernel's single feature vreg.
+    """
+    T, D = lev.num_trees, lev.depth
+    F = lev.num_cols
+    perm = np.zeros((T, 1), dtype=np.int64)
+    fid_out, thr_out = [], []
+    for d in range(D):
+        thr = np.take_along_axis(lev.thresh[d], perm, axis=1)
+        fid = np.take_along_axis(lev.fid[d], perm, axis=1)
+        dr = np.take_along_axis(lev.def_right[d], perm, axis=1)
+        inv = np.take_along_axis(lev.invert[d], perm, axis=1)
+        neg = dr ^ inv
+        with np.errstate(invalid="ignore"):
+            t_neg = np.nextafter(-thr, np.float32(np.inf)).astype(np.float32)
+        thr_out.append(np.where(neg, t_neg, thr).astype(np.float32))
+        fid_out.append(np.where(neg, fid + F, fid).astype(np.int32))
+        swap = dr.astype(np.int64)
+        new_perm = np.empty((T, 1 << (d + 1)), dtype=np.int64)
+        new_perm[:, : 1 << d] = perm + swap * (1 << d)
+        new_perm[:, 1 << d :] = perm + (1 - swap) * (1 << d)
+        perm = new_perm
+    leaf = np.take_along_axis(lev.leaf_values, perm, axis=1)
+    return fid_out, thr_out, np.ascontiguousarray(leaf.astype(np.float32))
+
+
+# ----------------------------------------------------------------------
 # Full pipeline
 # ----------------------------------------------------------------------
 

@@ -69,6 +69,9 @@ class FoldConfig(NamedTuple):
     seg: Tuple[int, ...]
     leaf_seg: int
     interpret: bool = False
+    # ge mode: single-compare tables from compiler.ge_normalize — one lane
+    # gather + one >= per node, missing/exchange folded away at compile time
+    ge: bool = False
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -95,6 +98,7 @@ class FoldKernelEngine:
         row_tile: int = 128,
         tree_tile: int = 64,
         interpret: bool = False,
+        ge_mode: bool | None = None,
         limits: TpuLimits = TpuLimits(),
     ):
         if leveled.num_cols > LANE:
@@ -102,6 +106,14 @@ class FoldKernelEngine:
                 f"FoldKernelEngine supports up to {LANE} features; got "
                 f"{leveled.num_cols} (use TensorEngine or split features)"
             )
+        # single-compare mode needs [x, -x] in one 128-lane vreg
+        if ge_mode is None:
+            ge_mode = 2 * leveled.num_cols <= LANE
+        elif ge_mode and 2 * leveled.num_cols > LANE:
+            raise ValueError(
+                f"ge_mode needs 2*num_cols <= {LANE}; got {leveled.num_cols}"
+            )
+        self.ge_mode = ge_mode
         self.depth = leveled.depth
         self.num_trees = leveled.num_trees
         self.num_cols = leveled.num_cols
@@ -170,39 +182,56 @@ class FoldKernelEngine:
 
         self.seg = [_round_up((1 << d) * TR, LANE) for d in range(D)]
         self.leaf_seg = _round_up((1 << D) * TR, LANE)
-        thresh, fid, sel_lt, flip = [], [], [], []
-        for d in range(D):
-            th = pad_tree_axis(lev.thresh[d], np.float32(np.nan))
-            fd = pad_tree_axis(lev.fid[d], np.int32(0))
-            dr = pad_tree_axis(lev.def_right[d], False)
-            iv = pad_tree_axis(lev.invert[d], False)
-            thresh.append(jnp.asarray(tile_node_major(th, np.float32(np.nan))))
-            fid.append(jnp.asarray(tile_node_major(fd, np.int32(0))))
-            sel_lt.append(
-                jnp.asarray(tile_node_major((dr ^ iv).astype(np.int32), np.int32(0)))
-            )
-            flip.append(
-                jnp.asarray(tile_node_major(dr.astype(np.int32), np.int32(0)))
-            )
-        leaf = pad_tree_axis(lev.leaf_values, np.float32(0))
-        # one flat tuple pytree, passed as a jit argument on every call
-        self.tables = (*thresh, *fid, *sel_lt, *flip,
-                       jnp.asarray(tile_node_major(leaf, np.float32(0))))
+        if self.ge_mode:
+            from tahoe_tpu.forest.compiler import ge_normalize
+
+            fid_l, thr_l, leaf_ge = ge_normalize(lev)
+            thresh, fid = [], []
+            for d in range(D):
+                th = pad_tree_axis(thr_l[d], np.float32(np.nan))
+                fd = pad_tree_axis(fid_l[d], np.int32(0))
+                thresh.append(jnp.asarray(tile_node_major(th, np.float32(np.nan))))
+                fid.append(jnp.asarray(tile_node_major(fd, np.int32(0))))
+            leaf = pad_tree_axis(leaf_ge, np.float32(0))
+            self.tables = (*thresh, *fid,
+                           jnp.asarray(tile_node_major(leaf, np.float32(0))))
+        else:
+            thresh, fid, sel_lt, flip = [], [], [], []
+            for d in range(D):
+                th = pad_tree_axis(lev.thresh[d], np.float32(np.nan))
+                fd = pad_tree_axis(lev.fid[d], np.int32(0))
+                dr = pad_tree_axis(lev.def_right[d], False)
+                iv = pad_tree_axis(lev.invert[d], False)
+                thresh.append(jnp.asarray(tile_node_major(th, np.float32(np.nan))))
+                fid.append(jnp.asarray(tile_node_major(fd, np.int32(0))))
+                sel_lt.append(
+                    jnp.asarray(tile_node_major((dr ^ iv).astype(np.int32), np.int32(0)))
+                )
+                flip.append(
+                    jnp.asarray(tile_node_major(dr.astype(np.int32), np.int32(0)))
+                )
+            leaf = pad_tree_axis(lev.leaf_values, np.float32(0))
+            # one flat tuple pytree, passed as a jit argument on every call
+            self.tables = (*thresh, *fid, *sel_lt, *flip,
+                           jnp.asarray(tile_node_major(leaf, np.float32(0))))
         self.cfg = FoldConfig(
             depth=D, row_tile=self.row_tile, tree_tile=TR, padded_trees=Tp,
             seg=tuple(self.seg), leaf_seg=self.leaf_seg,
-            interpret=self.interpret,
+            interpret=self.interpret, ge=self.ge_mode,
         )
 
     # ------------------------------------------------------------------
     def _canonicalize(self, x):
-        """Pad features to 128 lanes and map missing values to NaN."""
+        """Pad features to 128 lanes, map missing to NaN; in ge mode also
+        append the negated lanes [x, -x] (see compiler.ge_normalize)."""
         x = x.astype(jnp.float32)
         if np.isnan(np.float32(self.missing)):
             miss = jnp.isnan(x)
         else:
             miss = jnp.abs(x - jnp.float32(self.missing)) <= jnp.float32(MISSING_EPS)
         x = jnp.where(miss, jnp.float32(np.nan), x)
+        if self.ge_mode:
+            x = jnp.concatenate([x, -x], axis=1)
         pad = LANE - x.shape[1]
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad)))
@@ -262,10 +291,15 @@ def _make_kernel(cfg: FoldConfig):
     def kernel(x_ref, *refs):
         th_refs = refs[0:D]
         fid_refs = refs[D : 2 * D]
-        sel_refs = refs[2 * D : 3 * D]
-        flip_refs = refs[3 * D : 4 * D]
-        leaf_ref = refs[4 * D]
-        out_ref = refs[4 * D + 1]
+        if cfg.ge:
+            sel_refs = flip_refs = None
+            leaf_ref = refs[2 * D]
+            out_ref = refs[2 * D + 1]
+        else:
+            sel_refs = refs[2 * D : 3 * D]
+            flip_refs = refs[3 * D : 4 * D]
+            leaf_ref = refs[4 * D]
+            out_ref = refs[4 * D + 1]
 
         x = x_ref[:]  # [Rt, 128] NaN-canonicalized features
 
@@ -282,12 +316,16 @@ def _make_kernel(cfg: FoldConfig):
                 idx = jnp.broadcast_to(fid_refs[d][:, c0 : c0 + LANE], (Rt, LANE))
                 xv = jnp.take_along_axis(x, idx, axis=1)
                 th = th_refs[d][:, c0 : c0 + LANE]
-                # compare results kept in int32: Mosaic rejects select/xor on
-                # i1 vectors ("unsupported target bitwidth for truncation")
-                ge = (xv >= th).astype(jnp.int32)
-                lt = (xv < th).astype(jnp.int32)
-                r = jnp.where(sel_refs[d][:, c0 : c0 + LANE] != 0, lt, ge)
-                parts.append(r != flip_refs[d][:, c0 : c0 + LANE])
+                if cfg.ge:
+                    # single-compare form: all routing semantics pre-folded
+                    parts.append(xv >= th)
+                else:
+                    # compare results kept in int32: Mosaic rejects select/xor
+                    # on i1 vectors ("unsupported target bitwidth")
+                    ge = (xv >= th).astype(jnp.int32)
+                    lt = (xv < th).astype(jnp.int32)
+                    r = jnp.where(sel_refs[d][:, c0 : c0 + LANE] != 0, lt, ge)
+                    parts.append(r != flip_refs[d][:, c0 : c0 + LANE])
             cond = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
             return cond[:, :n]
 
@@ -335,7 +373,8 @@ def fold_margins(cfg: FoldConfig, tables, x_pad):
 
     in_specs = [pl.BlockSpec((Rt, LANE), lambda r, t: (r, 0),
                              memory_space=pltpu.VMEM)]
-    for _ in range(4):  # thresh, fid, sel, flip share the segment shapes
+    n_table_groups = 2 if cfg.ge else 4  # (thresh, fid[, sel, flip])
+    for _ in range(n_table_groups):
         for d in range(D):
             in_specs += [pl.BlockSpec((1, cfg.seg[d]), lambda r, t: (0, t),
                                       memory_space=pltpu.VMEM)]

@@ -96,6 +96,7 @@ class ShardedForestEngine:
             seg=base_cfg.seg,
             leaf_seg=base_cfg.leaf_seg,
             interpret=base_cfg.interpret,
+            ge=base_cfg.ge,
         )
 
         # Reshape each flat table [1, ntiles*seg] → [n_model, shard_cols] so
@@ -106,8 +107,8 @@ class ShardedForestEngine:
                 flat.reshape(self.n_model, self.tiles_per_shard * seg)
             )
 
-        D = self.depth
-        segs = list(base_cfg.seg) * 4 + [base_cfg.leaf_seg]
+        n_groups = 2 if base_cfg.ge else 4  # (thresh, fid[, sel, flip])
+        segs = list(base_cfg.seg) * n_groups + [base_cfg.leaf_seg]
         self.tables = tuple(
             split(t, segs[i]) for i, t in enumerate(self._base.tables)
         )
@@ -117,7 +118,9 @@ class ShardedForestEngine:
     # ------------------------------------------------------------------
     def _predict_impl(self, tables, data):
         rows = data.shape[0]
-        x = canonicalize_rows(data, self.missing, self.num_cols)
+        # the base engine's canonicalizer knows the table mode (ge mode adds
+        # the negated [x, -x] lanes)
+        x = self._base._canonicalize(data)
         block = self.row_tile * self.n_data
         pad = (-rows) % block
         if pad:
