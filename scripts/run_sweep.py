@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Dataset sweep driver — the ``run_all_15_examples.sh`` analog.
+
+The reference's integration test downloads 15 trained models + datasets and
+runs the binary on each (run_all_15_examples.sh:48-64). Those Google Drive
+fixtures are unreachable from this environment, so the sweep runs on a
+matching family of synthetic dataset *shapes* (same text formats, same run
+protocol); drop real ``model_X.txt``/``data_X.txt`` pairs into --data-dir to
+sweep them instead.
+
+Per dataset: enumerate all strategies (subprocess-isolated, slope-timed),
+check every one against the CPU oracle, validate the performance model's
+prediction, and append a JSON line to the report.
+
+Usage:
+  python scripts/run_sweep.py [--quick] [--data-dir DIR] [--out sweep.jsonl]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+# Synthetic shape family: (name, trees, depth, cols, rows, missing_prob)
+# roughly spanning the reference's 15 datasets (SUSY/HIGGS-like dense tabular,
+# SVHN/cifar-like wide-feature, letter/ijcnn-like small).
+SHAPES = [
+    ("susy_like",    500, 8, 18,  10000, 0.02),
+    ("higgs_like",   300, 8, 28,  10000, 0.02),
+    ("hepmass_like", 400, 8, 28,  8000,  0.00),
+    ("svhn_like",    200, 6, 100, 5000,  0.00),
+    ("ijcnn_like",   100, 6, 22,  5000,  0.05),
+    ("letter_like",  160, 7, 16,  4000,  0.00),
+    ("covtype_like", 250, 9, 54,  6000,  0.00),
+    ("year_like",    120, 7, 90,  4000,  0.01),
+]
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="3 shapes, few epochs")
+    p.add_argument("--data-dir", default=None,
+                   help="directory with model_*.txt/data_*.txt pairs to sweep")
+    p.add_argument("--out", default="sweep_results.jsonl")
+    p.add_argument("--epochs", type=int, default=20)
+    args = p.parse_args()
+
+    from tahoe_tpu.config import Strategy
+    from tahoe_tpu.engine import autotune
+    from tahoe_tpu.forest import io, synthetic
+    from tahoe_tpu.perf_model import calibrate, model
+
+    cases = []
+    if args.data_dir:
+        for mp in sorted(glob.glob(os.path.join(args.data_dir, "model_*.txt"))):
+            dp = mp.replace("model_", "data_")
+            if os.path.exists(dp):
+                cases.append(("file", mp, dp))
+    else:
+        shapes = SHAPES[:3] if args.quick else SHAPES
+        for name, trees, depth, cols, rows, mp in shapes:
+            cases.append(("synthetic", name, (trees, depth, cols, rows, mp)))
+
+    try:
+        cal = calibrate.measure_subprocess()
+    except Exception as e:
+        print(f"calibration failed ({e}); using defaults", flush=True)
+        cal = calibrate.Calibration.default()
+
+    results = []
+    for kind, name, payload in cases:
+        if kind == "file":
+            from tahoe_tpu.engine.forest import _peek_data_header
+
+            _, cols, missing = _peek_data_header(payload)
+            spec = io.load_model(name, num_cols=cols, missing=missing)
+            data, _ = io.load_data(payload)
+            label = os.path.basename(name)
+        else:
+            trees, depth, cols, rows, mprob = payload
+            spec = synthetic.generate_forest(trees, depth, cols, seed=1)
+            data = synthetic.generate_data(rows, cols, missing_prob=mprob, seed=2)
+            label = name
+
+        print(f"=== {label}: {spec.num_trees} trees depth {spec.depth} "
+              f"{spec.num_cols} cols, {data.shape[0]} rows", flush=True)
+        predicted, _ = model.choose_strategy(spec, data.shape[0], cal)
+        t0 = time.perf_counter()
+        res = autotune.enumerate_strategies(
+            spec, data, warmup=2, epochs=args.epochs,
+        )
+        best = autotune.best_strategy(res)
+        rec = {
+            "dataset": label,
+            "trees": spec.num_trees,
+            "depth": spec.depth,
+            "cols": spec.num_cols,
+            "rows": int(data.shape[0]),
+            "predicted": predicted.name,
+            "measured_best": best.name if best else None,
+            "model_correct": bool(best == predicted),
+            "all_correct": all(
+                r.correct for r in res.values() if r.ran
+            ),
+            "strategies": {
+                s.name: (None if not r.ran else round(r.us_per_sample, 6))
+                for s, r in res.items()
+            },
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }
+        results.append(rec)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+    n_ok = sum(r["all_correct"] for r in results)
+    n_pred = sum(r["model_correct"] for r in results)
+    print(f"\nSweep: {len(results)} datasets, {n_ok} fully correct, "
+          f"model predicted best in {n_pred}/{len(results)}", flush=True)
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -122,7 +122,10 @@ class FoldKernelEngine:
         self.threshold = leveled.threshold
         self.missing = leveled.missing
         self.row_tile = row_tile
-        self.tree_tile = min(tree_tile, _round_up(leveled.num_trees, 8))
+        # power-of-2 tree tiles keep every fold level either a single
+        # sub-128-lane chunk or an exact multiple of 128-lane chunks
+        tt = min(tree_tile, max(leveled.num_trees, 8))
+        self.tree_tile = 1 << (tt - 1).bit_length()
         self.interpret = interpret
 
         need = self.vmem_bytes(leveled.depth, self.row_tile, self.tree_tile)
@@ -330,22 +333,69 @@ def _make_kernel(cfg: FoldConfig):
             return cond[:, :n]
 
         # bottom-up select-fold; all half-splits are contiguous thanks to the
-        # bit-reversed node-major layout
-        w = None
-        for d in range(D - 1, -1, -1):
-            n = (1 << d) * TR  # nodes in this level * trees
-            cond = level_cond(d, n)
-            if w is None:
-                lo = jnp.broadcast_to(leaf_ref[:, :n], (Rt, n))
-                hi = jnp.broadcast_to(leaf_ref[:, n : 2 * n], (Rt, n))
+        # bit-reversed node-major layout. In ge mode the whole fold is kept as
+        # a LIST of 128-lane chunks — conds are consumed the moment they're
+        # computed and nothing is ever concatenated, so every intermediate
+        # stays in vector registers.
+        if cfg.ge:
+            def cond_chunk(d, c0):
+                idx = jnp.broadcast_to(fid_refs[d][:, c0 : c0 + LANE], (Rt, LANE))
+                xv = jnp.take_along_axis(x, idx, axis=1)
+                return xv >= th_refs[d][:, c0 : c0 + LANE]
+
+            w = None  # list of [Rt, 128] chunks covering n = 2^d * TR cols
+            for d in range(D - 1, -1, -1):
+                n = (1 << d) * TR
+                n_chunks = _cdiv(n, LANE)
+                new_w = []
+                for c in range(n_chunks):
+                    cnd = cond_chunk(d, c * LANE)
+                    if w is None and n >= LANE:
+                        lo = jnp.broadcast_to(
+                            leaf_ref[:, c * LANE : (c + 1) * LANE], (Rt, LANE)
+                        )
+                        hi = jnp.broadcast_to(
+                            leaf_ref[:, n + c * LANE : n + (c + 1) * LANE],
+                            (Rt, LANE),
+                        )
+                    elif w is None:
+                        # whole leaf level fits one chunk (2n <= LANE)
+                        chunk = jnp.broadcast_to(leaf_ref[:, :LANE], (Rt, LANE))
+                        lo, hi = chunk[:, :n], chunk[:, n : 2 * n]
+                        cnd = cnd[:, :n]
+                    elif n >= LANE:
+                        lo, hi = w[c], w[c + n_chunks]
+                    else:
+                        # sub-chunk levels: halves live inside chunk 0
+                        lo, hi = w[0][:, :n], w[0][:, n : 2 * n]
+                        cnd = cnd[:, :n]
+                    new_w.append(jnp.where(cnd, hi, lo))
+                w = new_w
+            if w is None:  # depth 0: forest of stumps
+                w = [jnp.broadcast_to(leaf_ref[:, :LANE], (Rt, LANE))]
+            wv = w[0][:, :TR] if TR < LANE else None
+            if wv is None:
+                partial = jnp.sum(w[0], axis=1, keepdims=True)
+                for c in range(1, len(w)):
+                    partial = partial + jnp.sum(w[c], axis=1, keepdims=True)
             else:
-                lo, hi = w[:, :n], w[:, n:]
-            w = jnp.where(cond, hi, lo)
+                partial = jnp.sum(wv, axis=1, keepdims=True)
+        else:
+            w = None
+            for d in range(D - 1, -1, -1):
+                n = (1 << d) * TR  # nodes in this level * trees
+                cond = level_cond(d, n)
+                if w is None:
+                    lo = jnp.broadcast_to(leaf_ref[:, :n], (Rt, n))
+                    hi = jnp.broadcast_to(leaf_ref[:, n : 2 * n], (Rt, n))
+                else:
+                    lo, hi = w[:, :n], w[:, n:]
+                w = jnp.where(cond, hi, lo)
 
-        if w is None:  # depth 0
-            w = jnp.broadcast_to(leaf_ref[:, :TR], (Rt, TR))
+            if w is None:  # depth 0
+                w = jnp.broadcast_to(leaf_ref[:, :TR], (Rt, TR))
 
-        partial = jnp.sum(w, axis=1, keepdims=True)  # [Rt, 1]
+            partial = jnp.sum(w, axis=1, keepdims=True)  # [Rt, 1]
 
         t = pl.program_id(1)
 

@@ -1,16 +1,21 @@
 """Hardware calibration microbenchmarks.
 
 The analog of the reference's adapted NVIDIA ``bandwidthTest`` probe
-(bandwidthTest.h:110-381: a device-to-device memcpy timed over 100 iterations
-feeds the cost model as the one measured constant). Here three constants are
-measured, each with a tiny XLA program on the live device:
+(bandwidthTest.h:110-381): measure the machine once, feed the analytical model
+(main.cu:29-32 uses one bandwidth number plus fixed ratios). On TPU the
+honest approach is *strategy-family microbenchmarks* (SURVEY.md §7 "fall back
+on calibrated microbenchmarks per strategy family"): tiny forests run through
+each engine family with slope timing, yielding per-(row·node) latencies that
+the cost model scales to full forest shapes — XLA-compiled kernels are not
+predictable from first-principles byte counts the way hand-counted CUDA
+kernels were.
 
-- ``hbm_gbps``      — HBM streaming bandwidth (read+write of a large buffer)
-- ``vpu_gops``      — vector-unit elementwise op rate (fused select chain)
-- ``dispatch_us``   — per-call dispatch overhead (null op round trip)
+Nominal defaults (measured on TPU v5e, 2026-08) let the model run without
+touching the device; ``measure()`` refines them live.
 
-Results are cached per process; ``Calibration.default()`` returns nominal
-v5e numbers without touching the device (for tests / offline prediction).
+NOTE: every call here fences through a host read — the remote runtime acks
+dispatches before execution, so ``block_until_ready`` alone measures nothing
+(see .claude/skills/verify/SKILL.md).
 """
 from __future__ import annotations
 
@@ -21,69 +26,115 @@ from typing import Optional
 
 @dataclasses.dataclass(frozen=True)
 class Calibration:
+    """Per-element latencies in nanoseconds + machine constants."""
+
+    # fused Pallas select-fold: ns per (row, node) visited
+    fold_node_ns: float
+    # jnp level-synchronous gather descent: ns per (row, tree, level)
+    gather_step_ns: float
+    # XLA (non-Pallas) select-fold with HBM intermediates: ns per (row, node)
+    xla_node_ns: float
     hbm_gbps: float
-    vpu_gops: float
     dispatch_us: float
 
     @staticmethod
     def default() -> "Calibration":
-        # nominal TPU v5e: ~819 GB/s HBM, O(1e12) vector ops/s
-        return Calibration(hbm_gbps=800.0, vpu_gops=2000.0, dispatch_us=80.0)
+        # measured on TPU v5e (axon), SUSY-class shapes, 2026-08-17
+        return Calibration(
+            fold_node_ns=0.0024,     # 0.30 us/sample @ 127.5k nodes/row
+            gather_step_ns=41.0,     # 186 us/sample @ 500 trees * 9 levels
+            xla_node_ns=0.050,       # 6.4 us/sample @ 127.5k nodes/row
+            hbm_gbps=800.0,
+            dispatch_us=80.0,
+        )
 
 
 _cached: Optional[Calibration] = None
 
 
-def _median_time(fn, n=10) -> float:
-    import jax
+def _slope_time(run_k, k1=2, k2=10, n=3) -> float:
+    """Median wall time per iteration via the chained-iteration slope."""
+    import numpy as np
 
-    jax.block_until_ready(fn())
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+    def timed(k):
+        _ = float(np.asarray(run_k(k)).ravel()[0])  # compile + warm + fence
+        ts = []
+        for _i in range(n):
+            t0 = time.perf_counter()
+            _ = float(np.asarray(run_k(k)).ravel()[0])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1, t2 = timed(k1), timed(k2)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
 def measure(force: bool = False) -> Calibration:
-    """Run the probes on the default device (a few hundred ms total)."""
+    """Micro-run each engine family on a tiny forest (tens of seconds)."""
     global _cached
     if _cached is not None and not force:
         return _cached
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    # --- HBM bandwidth: stream-copy a 128 MiB buffer (read + write) --------
-    n = 32 * 1024 * 1024  # f32 elements
-    x = jnp.arange(n, dtype=jnp.float32).reshape(-1, 1024)
-    copy = jax.jit(lambda a: a * jnp.float32(1.0000001))
-    t = _median_time(lambda: copy(x))
-    hbm_gbps = (2 * 4 * n) / t / 1e9
+    from tahoe_tpu.forest import compiler, synthetic
 
-    # --- VPU op rate: 64 fused selects per element on a VMEM-sized array ---
-    y = jnp.ones((512, 1024), jnp.float32)
+    trees, depth, cols, rows = 128, 7, 18, 4096
+    forest = synthetic.generate_forest(trees, depth, cols, seed=5)
+    data = synthetic.generate_data(rows, cols, seed=6)
+    lev = compiler.levelize(forest)
+    data_d = jax.device_put(jnp.asarray(data))
+    nodes_per_row = trees * (1 << depth)
 
-    def chain(a):
-        b = a
-        for _ in range(64):
-            b = jnp.where(b > 0.5, b * 0.99, b * 1.01)
-        return b
+    # --- fused fold kernel ---------------------------------------------------
+    from tahoe_tpu.ops.fold_kernel import FoldKernelEngine
 
-    chain_j = jax.jit(chain)
-    t = _median_time(lambda: chain_j(y))
-    # each where ≈ 2 vector ops (compare + select) on 512*1024 elements
-    vpu_gops = (64 * 2 * y.size) / t / 1e9
+    fold = FoldKernelEngine(lev, row_tile=256, tree_tile=64,
+                            interpret=jax.default_backend() == "cpu")
+    t = _slope_time(lambda k: fold.predict_k(data_d, k))
+    fold_node_ns = t / rows / nodes_per_row * 1e9
 
-    # --- dispatch overhead --------------------------------------------------
+    # --- gather descent ------------------------------------------------------
+    from tahoe_tpu.ops.gather_engine import GatherEngine
+
+    gat = GatherEngine(forest)
+    t = _slope_time(lambda k: gat.predict_k(data_d, k), k1=1, k2=4)
+    gather_step_ns = t / rows / (trees * (depth + 1)) * 1e9
+
+    # --- XLA fold (take mode) ------------------------------------------------
+    from tahoe_tpu.ops.tensor_engine import TensorEngine
+
+    xla = TensorEngine(lev, select_mode="take", row_tile=256)
+    t = _slope_time(lambda k: xla.predict_k(data_d, k), k1=1, k2=5)
+    xla_node_ns = t / rows / nodes_per_row * 1e9
+
+    # --- HBM bandwidth + dispatch -------------------------------------------
+    big = jnp.ones((32 * 1024 * 1024,), jnp.float32)
+    stream = jax.jit(lambda v: (v * jnp.float32(1.0000001)).sum())
+    t = _slope_time(
+        lambda k: jax.lax.fori_loop(
+            0, k, lambda i, a: a + stream(big + a * 0), jnp.float32(0)
+        ),
+        k1=2, k2=8,
+    )
+    hbm_gbps = 4 * big.size / t / 1e9
+
     z = jnp.ones((8, 128), jnp.float32)
-    null = jax.jit(lambda a: a + 1.0)
-    dispatch_us = _median_time(lambda: null(z)) * 1e6
+    null = jax.jit(lambda v: v + 1.0)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        null(z).block_until_ready()
+    dispatch_us = (time.perf_counter() - t0) / 10 * 1e6
 
-    _cached = Calibration(hbm_gbps=hbm_gbps, vpu_gops=vpu_gops,
-                          dispatch_us=dispatch_us)
+    _cached = Calibration(
+        fold_node_ns=fold_node_ns,
+        gather_step_ns=gather_step_ns,
+        xla_node_ns=xla_node_ns,
+        hbm_gbps=hbm_gbps,
+        dispatch_us=dispatch_us,
+    )
     return _cached
 
 
@@ -105,7 +156,7 @@ def measure_subprocess() -> Calibration:
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable, "-m", "tahoe_tpu.perf_model.calibrate"],
-        capture_output=True, text=True, env=env, timeout=600,
+        capture_output=True, text=True, env=env, timeout=900,
     )
     for line in reversed(out.stdout.strip().splitlines() or [""]):
         if line.strip().startswith("{"):
