@@ -64,8 +64,9 @@ def main(argv=None) -> int:
     else:
         cal = calibrate.measure_subprocess()
     print(
-        f"Calibration: HBM {cal.hbm_gbps:.0f} GB/s, VPU {cal.vpu_gops:.0f} "
-        f"Gop/s, dispatch {cal.dispatch_us:.0f} us"
+        f"Calibration: fold {cal.fold_node_ns*1e3:.2f} ps/node, gather "
+        f"{cal.gather_step_ns:.1f} ns/step, xla-fold {cal.xla_node_ns*1e3:.1f} "
+        f"ps/node, HBM {cal.hbm_gbps:.0f} GB/s, dispatch {cal.dispatch_us:.0f} us"
     )
 
     predicted, costs = model.choose_strategy(spec, data.shape[0], cal)

@@ -296,27 +296,116 @@ def ge_normalize(lev: LeveledForest):
     select the negated lane (fid' = fid + num_cols). Requires
     2*num_cols <= 128 for the fused kernel's single feature vreg.
     """
-    T, D = lev.num_trees, lev.depth
-    F = lev.num_cols
-    perm = np.zeros((T, 1), dtype=np.int64)
     fid_out, thr_out = [], []
+
+    def visit(thr, fid, neg):
+        F = lev.num_cols
+        with np.errstate(invalid="ignore"):
+            t_neg = np.nextafter(-thr, np.float32(np.inf)).astype(np.float32)
+        thr_out.append(np.where(neg, t_neg, thr).astype(np.float32))
+        fid_out.append(np.where(neg, fid + F, fid).astype(np.int32))
+
+    leaf = _normalize_walk(lev, visit)
+    return fid_out, thr_out, leaf
+
+
+def _normalize_walk(lev: LeveledForest, visit):
+    """Shared ge-normalization walk: per level, gathers node data at the
+    mirror-composed positions, computes neg = def_right ^ invert, calls
+    ``visit(thresh, fid, neg)`` to emit the level's tables, and propagates the
+    subtree-mirror permutation (swap at def_right nodes). Returns the
+    permuted leaf values [T, 2^D] f32."""
+    T, D = lev.num_trees, lev.depth
+    perm = np.zeros((T, 1), dtype=np.int64)
     for d in range(D):
         thr = np.take_along_axis(lev.thresh[d], perm, axis=1)
         fid = np.take_along_axis(lev.fid[d], perm, axis=1)
         dr = np.take_along_axis(lev.def_right[d], perm, axis=1)
         inv = np.take_along_axis(lev.invert[d], perm, axis=1)
-        neg = dr ^ inv
-        with np.errstate(invalid="ignore"):
-            t_neg = np.nextafter(-thr, np.float32(np.inf)).astype(np.float32)
-        thr_out.append(np.where(neg, t_neg, thr).astype(np.float32))
-        fid_out.append(np.where(neg, fid + F, fid).astype(np.int32))
+        visit(thr, fid, dr ^ inv)
         swap = dr.astype(np.int64)
         new_perm = np.empty((T, 1 << (d + 1)), dtype=np.int64)
         new_perm[:, : 1 << d] = perm + swap * (1 << d)
         new_perm[:, 1 << d :] = perm + (1 - swap) * (1 << d)
         perm = new_perm
     leaf = np.take_along_axis(lev.leaf_values, perm, axis=1)
-    return fid_out, thr_out, np.ascontiguousarray(leaf.astype(np.float32))
+    return np.ascontiguousarray(leaf.astype(np.float32))
+
+
+# ----------------------------------------------------------------------
+# Pass 7: rank-MXU normalization (int8 matmul form)
+# ----------------------------------------------------------------------
+
+# Lane map for the rank-plane vector (see ops/rank_kernel.py): base-127
+# two-plane encoding q16 = 127*qh + ql with positive and negated planes plus
+# two constant lanes, all within one 128-lane vreg. Supports num_cols <= 30
+# and ranks <= 16255.
+RANK_BASE = 127
+RANK_MAX = RANK_BASE * 127 + (RANK_BASE - 1)  # 16255
+RANK_LANE_QH = 0
+RANK_LANE_QL = 30
+RANK_LANE_NQH = 60
+RANK_LANE_NQL = 90
+RANK_LANE_C127 = 120   # lhs carries constant 127 here
+RANK_LANE_C1 = 121     # lhs carries constant 1 here
+RANK_MAX_COLS = 30
+
+
+def rank_normalize(lev_rank: LeveledForest):
+    """Rank-domain LeveledForest → per-level int8 MXU matrices.
+
+    ``lev_rank`` is levelize() of a rank-quantized spec
+    (quantize.quantized_spec_for_engines): internal thresholds hold integer
+    ranks as f32 (pass-through nodes hold NaN). Produces per level an int8
+    matrix R_d [128, T*2^d] such that for the encoded row-plane vector p
+    (quantize.encode_rank_planes),
+
+        diff[n] = p . R_d[:, n] = (q16[fid_n] - rank_n)        pos classes
+                                  (-q16[fid_n] + rank_n - 1)   neg classes
+                                  (-1)                          pass-through
+
+    and the branch condition is exactly ``diff >= 0`` — the whole per-node
+    rule (missing + def_left + exchange + compare, Struct.h:380-403/894-898)
+    compiled into one int8 matmul column. Subtree mirrors (def_right) are
+    composed into the node order exactly as in ge_normalize.
+
+    Returns (mats [list of int8 [128, T*2^d]], leaf_values f32 [T, 2^D]).
+    """
+    F = lev_rank.num_cols
+    if F > RANK_MAX_COLS:
+        raise ValueError(f"rank-MXU form supports <= {RANK_MAX_COLS} features")
+    mats = []
+
+    def visit(thr, fid, neg):
+        T, n = thr.shape
+        m = np.zeros((128, T * n), dtype=np.int8)
+        cols = np.arange(T * n)
+        rank = thr.reshape(-1)
+        fidf = fid.reshape(-1)
+        negf = neg.reshape(-1)
+        passthrough = np.isnan(rank)
+        r16 = np.where(passthrough, 0, rank).astype(np.int64)
+        if (r16 < 0).any() or (r16 > RANK_MAX).any():
+            raise ValueError(f"rank out of range for int8 MXU form (max {RANK_MAX})")
+        rh = (r16 // RANK_BASE).astype(np.int8)
+        rl = (r16 % RANK_BASE).astype(np.int8)
+
+        pos = ~passthrough & ~negf
+        ng = ~passthrough & negf
+        m[RANK_LANE_QH + fidf[pos], cols[pos]] = RANK_BASE
+        m[RANK_LANE_QL + fidf[pos], cols[pos]] = 1
+        m[RANK_LANE_C127, cols[pos]] = -rh[pos]
+        m[RANK_LANE_C1, cols[pos]] = -rl[pos]
+        m[RANK_LANE_NQH + fidf[ng], cols[ng]] = RANK_BASE
+        m[RANK_LANE_NQL + fidf[ng], cols[ng]] = 1
+        m[RANK_LANE_C127, cols[ng]] = rh[ng]
+        m[RANK_LANE_C1, cols[ng]] = rl[ng] - 1
+        m[RANK_LANE_C1, cols[passthrough]] = -1
+        # column-major per (tree, node): reshape to [128, T, n]
+        mats.append(m.reshape(128, T, n))
+
+    leaf = _normalize_walk(lev_rank, visit)
+    return mats, leaf
 
 
 # ----------------------------------------------------------------------

@@ -122,6 +122,67 @@ def transform_rows_device(q: RankQuantizedForest, data):
     return jnp.where(miss, jnp.float32(np.nan), ranks)
 
 
+def encode_rank_planes_np(ranks: np.ndarray) -> np.ndarray:
+    """f32 rank rows (NaN = missing) → int8 plane vectors [R, 128].
+
+    Lane map per compiler.rank_normalize: base-127 hi/lo planes, negated
+    planes, and two constant lanes, so that one int8 matmul against the
+    per-level matrices yields ``q - rank`` (or its negated-class twin) per
+    node. Missing rows get -128 in all four planes, which drives every
+    class's diff negative (cond False → the pre-mirrored missing route).
+    """
+    from tahoe_tpu.forest.compiler import (
+        RANK_BASE, RANK_LANE_C1, RANK_LANE_C127, RANK_LANE_NQH,
+        RANK_LANE_NQL, RANK_LANE_QH, RANK_LANE_QL, RANK_MAX_COLS,
+    )
+
+    ranks = np.asarray(ranks)
+    R, F = ranks.shape
+    if F > RANK_MAX_COLS:
+        raise ValueError(f"rank planes support <= {RANK_MAX_COLS} features")
+    miss = np.isnan(ranks)
+    q16 = np.where(miss, 0, ranks).astype(np.int64)
+    qh = (q16 // RANK_BASE).astype(np.int8)
+    ql = (q16 % RANK_BASE).astype(np.int8)
+    out = np.zeros((R, 128), np.int8)
+    out[:, RANK_LANE_QH : RANK_LANE_QH + F] = np.where(miss, -128, qh)
+    out[:, RANK_LANE_QL : RANK_LANE_QL + F] = np.where(miss, -128, ql)
+    out[:, RANK_LANE_NQH : RANK_LANE_NQH + F] = np.where(miss, -128, -qh)
+    out[:, RANK_LANE_NQL : RANK_LANE_NQL + F] = np.where(miss, -128, -ql)
+    out[:, RANK_LANE_C127] = 127
+    out[:, RANK_LANE_C1] = 1
+    return out
+
+
+def encode_rank_planes_device(ranks):
+    """Device-side twin of encode_rank_planes_np (jit-compatible)."""
+    import jax.numpy as jnp
+
+    from tahoe_tpu.forest.compiler import (
+        RANK_BASE, RANK_LANE_C1, RANK_LANE_C127, RANK_LANE_NQH,
+        RANK_LANE_NQL, RANK_LANE_QH, RANK_LANE_QL,
+    )
+
+    R, F = ranks.shape
+    miss = jnp.isnan(ranks)
+    q16 = jnp.where(miss, 0, ranks).astype(jnp.int32)
+    qh = q16 // RANK_BASE
+    ql = q16 % RANK_BASE
+    m128 = jnp.int32(-128)
+    planes = [
+        (RANK_LANE_QH, jnp.where(miss, m128, qh)),
+        (RANK_LANE_QL, jnp.where(miss, m128, ql)),
+        (RANK_LANE_NQH, jnp.where(miss, m128, -qh)),
+        (RANK_LANE_NQL, jnp.where(miss, m128, -ql)),
+    ]
+    out = jnp.zeros((R, 128), jnp.int32)
+    for lane, vals in planes:
+        out = out.at[:, lane : lane + F].set(vals)
+    out = out.at[:, RANK_LANE_C127].set(127)
+    out = out.at[:, RANK_LANE_C1].set(1)
+    return out.astype(jnp.int8)
+
+
 def quantized_spec_for_engines(q: RankQuantizedForest) -> ForestSpec:
     """The rank-domain ForestSpec ready for any engine: missing sentinel is
     forced to NaN (transform_rows_* emits NaN for missing)."""

@@ -1,0 +1,327 @@
+"""MXU rank kernel: traversal where node conditions come off the matrix unit.
+
+The third traversal engine family, and the quantized-path flagship. Where the
+fused fold kernel (fold_kernel.py) spends ~70% of its VPU time on the per-node
+lane gather, this kernel moves feature selection AND threshold comparison onto
+the MXU: each node's whole routing rule is one int8 column (built by
+compiler.rank_normalize), and
+
+    diff = planes @ R_d          # one [Rt,128] x [128, nodes] int8 matmul
+    cond = diff >= 0             # 1 VPU op
+    fold select                  # 1 VPU op
+
+with rank quantization (quantize.py) making the int8 domain EXACT — the
+realization of the north star's "INT8-quantized thresholds/features matching
+CPU float predictions exactly". Missing values, def_left routing and exchange
+inversion are all pre-compiled into the matrix columns (the negated planes /
+subtree mirrors of ge-normalization), so the kernel body has no trace of
+them. Structure (grid, tiling, accumulation, layouts) mirrors fold_kernel.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tahoe_tpu.config import TpuLimits
+from tahoe_tpu.forest.compiler import RANK_MAX_COLS, levelize, rank_normalize
+from tahoe_tpu.forest.quantize import (
+    RankQuantizedForest,
+    encode_rank_planes_device,
+    quantize,
+    quantized_spec_for_engines,
+    transform_rows_device,
+)
+from tahoe_tpu.forest.spec import ForestSpec
+from tahoe_tpu.ops.fold_kernel import LANE, _cdiv, _round_up
+from tahoe_tpu.ops.transform import apply_output_transform
+
+
+class RankFoldConfig(NamedTuple):
+    depth: int
+    row_tile: int
+    tree_tile: int
+    padded_trees: int
+    seg: Tuple[int, ...]
+    leaf_seg: int
+    interpret: bool = False
+
+
+def _make_kernel(cfg: RankFoldConfig):
+    D = cfg.depth
+    TR = cfg.tree_tile
+    Rt = cfg.row_tile
+
+    def kernel(p_ref, *refs):
+        mat_refs = refs[0:D]
+        leaf_ref = refs[D]
+        out_ref = refs[D + 1]
+
+        planes = p_ref[:]  # [Rt, 128] int8
+
+        def cond_chunk(d, c0):
+            rhs = mat_refs[d][:, c0 : c0 + LANE]  # [128, 128] int8
+            diff = jax.lax.dot_general(
+                planes, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return diff >= 0
+
+        w = None
+        for d in range(D - 1, -1, -1):
+            n = (1 << d) * TR
+            n_chunks = _cdiv(n, LANE)
+            new_w = []
+            for c in range(n_chunks):
+                cnd = cond_chunk(d, c * LANE)
+                if w is None and n >= LANE:
+                    lo = jnp.broadcast_to(
+                        leaf_ref[:, c * LANE : (c + 1) * LANE], (Rt, LANE)
+                    )
+                    hi = jnp.broadcast_to(
+                        leaf_ref[:, n + c * LANE : n + (c + 1) * LANE],
+                        (Rt, LANE),
+                    )
+                elif w is None:
+                    chunk = jnp.broadcast_to(leaf_ref[:, :LANE], (Rt, LANE))
+                    lo, hi = chunk[:, :n], chunk[:, n : 2 * n]
+                    cnd = cnd[:, :n]
+                elif n >= LANE:
+                    lo, hi = w[c], w[c + n_chunks]
+                else:
+                    lo, hi = w[0][:, :n], w[0][:, n : 2 * n]
+                    cnd = cnd[:, :n]
+                new_w.append(jnp.where(cnd, hi, lo))
+            w = new_w
+
+        if w is None:  # depth 0
+            w = [jnp.broadcast_to(leaf_ref[:, :LANE], (Rt, LANE))]
+        wv = w[0][:, :TR] if TR < LANE else None
+        if wv is None:
+            partial = jnp.sum(w[0], axis=1, keepdims=True)
+            for c in range(1, len(w)):
+                partial = partial + jnp.sum(w[c], axis=1, keepdims=True)
+        else:
+            partial = jnp.sum(wv, axis=1, keepdims=True)
+
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            out_ref[:] = partial
+
+        @pl.when(t != 0)
+        def _acc():
+            out_ref[:] = out_ref[:] + partial
+
+    return kernel
+
+
+def rank_fold_margins(cfg: RankFoldConfig, tables, planes_pad):
+    rows = planes_pad.shape[0]
+    Rt = cfg.row_tile
+    grid = (rows // Rt, cfg.padded_trees // cfg.tree_tile)
+
+    in_specs = [pl.BlockSpec((Rt, LANE), lambda r, t: (r, 0),
+                             memory_space=pltpu.VMEM)]
+    for d in range(cfg.depth):
+        in_specs += [pl.BlockSpec((LANE, cfg.seg[d]), lambda r, t: (0, t),
+                                  memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec((1, cfg.leaf_seg), lambda r, t: (0, t),
+                              memory_space=pltpu.VMEM)]
+    out_spec = pl.BlockSpec((Rt, 1), lambda r, t: (r, 0),
+                            memory_space=pltpu.VMEM)
+
+    margins = pl.pallas_call(
+        _make_kernel(cfg),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        interpret=cfg.interpret,
+    )(planes_pad, *tables)
+    return margins[:, 0]
+
+
+class RankFoldEngine:
+    """Rank-quantize a forest and run it through the MXU kernel.
+
+    ``predict(data)`` takes raw f32 rows: the rank transform + plane encoding
+    run on-device inside the same jit (a one-time-per-batch cost proportional
+    to the number of distinct thresholds). ``predict_planes`` skips the
+    transform for pre-encoded inputs.
+    """
+
+    def __init__(self, forest: ForestSpec, *, row_tile: int = 256,
+                 tree_tile: int = 64, interpret: bool = False,
+                 limits: TpuLimits = TpuLimits()):
+        if forest.num_cols > RANK_MAX_COLS:
+            raise NotImplementedError(
+                f"rank-MXU kernel supports <= {RANK_MAX_COLS} features"
+            )
+        self.q: RankQuantizedForest = quantize(forest)
+        qspec = quantized_spec_for_engines(self.q)
+        lev = levelize(qspec)
+
+        self.depth = lev.depth
+        self.num_trees = lev.num_trees
+        self.num_cols = lev.num_cols
+        self.output = lev.output
+        self.global_bias = lev.global_bias
+        self.threshold = lev.threshold
+        self.row_tile = row_tile
+        tt = min(tree_tile, max(lev.num_trees, 8))
+        self.tree_tile = 1 << (tt - 1).bit_length()
+        self.interpret = interpret
+
+        need = self.vmem_bytes(lev.depth, row_tile, self.tree_tile)
+        if not interpret and need > limits.usable_vmem:
+            raise ValueError(
+                f"tile needs ~{need/2**20:.1f} MiB VMEM > budget "
+                f"{limits.usable_vmem/2**20:.1f} MiB"
+            )
+
+        self._build_tables(lev)
+        self._predict = jax.jit(self._predict_impl)
+        self._predict_k = jax.jit(self._chain_impl, static_argnames=("k",))
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def vmem_bytes(depth: int, row_tile: int, tree_tile: int) -> int:
+        nodes = (1 << depth) - 1
+        mats = tree_tile * nodes * 128          # int8 matrices
+        leaf = tree_tile * (1 << depth) * 4
+        w_top = row_tile * (1 << max(depth - 1, 0)) * tree_tile * 4
+        return int(mats + leaf + w_top + w_top // 2 + row_tile * LANE * 8)
+
+    # ------------------------------------------------------------------
+    def _build_tables(self, lev) -> None:
+        TR = self.tree_tile
+        T = lev.num_trees
+        Tp = _round_up(max(T, TR), TR)
+        self.padded_trees = Tp
+        D = lev.depth
+
+        mats, leaf = rank_normalize(lev)
+
+        def pad_trees_mat(m):
+            # m [128, T, n] int8 → [128, Tp, n]; padded trees are all-zero
+            # columns except the pass-through constant → diff = -1
+            if m.shape[1] == Tp:
+                return m
+            pad = np.zeros((128, Tp - m.shape[1], m.shape[2]), np.int8)
+            from tahoe_tpu.forest.compiler import RANK_LANE_C1
+
+            pad[RANK_LANE_C1] = -1
+            return np.concatenate([m, pad], axis=1)
+
+        def tile_node_major_mat(m):
+            # [128, Tp, n] → [128, ntiles*seg] ordered (tile, node, tree)
+            n = m.shape[2]
+            t = np.ascontiguousarray(
+                m.reshape(128, Tp // TR, TR, n).transpose(1, 0, 3, 2)
+            ).reshape(Tp // TR, 128, n * TR)
+            seg = _round_up(n * TR, LANE)
+            if seg != n * TR:
+                padb = np.zeros((Tp // TR, 128, seg - n * TR), np.int8)
+                from tahoe_tpu.forest.compiler import RANK_LANE_C1
+
+                padb[:, RANK_LANE_C1, :] = -1
+                t = np.concatenate([t, padb], axis=2)
+            # flatten tiles along the column axis: [128, ntiles*seg]
+            return np.ascontiguousarray(t.transpose(1, 0, 2)).reshape(128, -1)
+
+        self.seg = [_round_up((1 << d) * TR, LANE) for d in range(D)]
+        self.leaf_seg = _round_up((1 << D) * TR, LANE)
+
+        tabs = [jnp.asarray(tile_node_major_mat(pad_trees_mat(m))) for m in mats]
+
+        def pad_tree_axis(a, fill):
+            if a.shape[0] == Tp:
+                return a
+            pad = np.full((Tp - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
+            return np.concatenate([a, pad], axis=0)
+
+        def tile_node_major(a, fill):
+            n = a.shape[1]
+            t = np.ascontiguousarray(a.reshape(Tp // TR, TR, n).transpose(0, 2, 1))
+            t = t.reshape(Tp // TR, n * TR)
+            seg = _round_up(n * TR, LANE)
+            if seg != n * TR:
+                padb = np.full((Tp // TR, seg - n * TR), fill, dtype=a.dtype)
+                t = np.concatenate([t, padb], axis=1)
+            return t.reshape(1, -1)
+
+        leaf_p = pad_tree_axis(leaf, np.float32(0))
+        self.tables = (*tabs, jnp.asarray(tile_node_major(leaf_p, np.float32(0))))
+        # rank tables as a padded device array for the in-jit transform
+        kmax = max(self.q.max_ranks, 1)
+        padded = np.full((self.num_cols, kmax), np.inf, np.float32)
+        for f, t in enumerate(self.q.tables):
+            padded[f, : len(t)] = t
+        self.rank_tables = jnp.asarray(padded)
+        self.cfg = RankFoldConfig(
+            depth=D, row_tile=self.row_tile, tree_tile=TR, padded_trees=Tp,
+            seg=tuple(self.seg), leaf_seg=self.leaf_seg,
+            interpret=self.interpret,
+        )
+
+    # ------------------------------------------------------------------
+    def _transform(self, rank_tables, data):
+        """f32 rows → int8 plane vectors, fully on device."""
+        data = data.astype(jnp.float32)
+        missing = self.q.spec.missing
+        if np.isnan(np.float32(missing)):
+            miss = jnp.isnan(data)
+        else:
+            from tahoe_tpu.config import MISSING_EPS
+
+            miss = jnp.abs(data - jnp.float32(missing)) <= jnp.float32(MISSING_EPS)
+        ranks = (data[:, :, None] >= rank_tables[None, :, :]).sum(
+            axis=2
+        ).astype(jnp.float32)
+        ranks = jnp.where(miss, jnp.float32(np.nan), ranks)
+        return encode_rank_planes_device(ranks)
+
+    def _margins_planes(self, tables, planes):
+        rows = planes.shape[0]
+        pad = (-rows) % self.row_tile
+        if pad:
+            planes = jnp.concatenate(
+                [planes, jnp.zeros((pad, LANE), jnp.int8)], axis=0
+            )
+        return rank_fold_margins(self.cfg, tables, planes)[:rows]
+
+    def _predict_impl(self, tables, rank_tables, data):
+        planes = self._transform(rank_tables, data)
+        margins = self._margins_planes(tables, planes)
+        return apply_output_transform(
+            margins, self.num_trees, self.output, self.global_bias,
+            self.threshold, jnp,
+        )
+
+    def _chain_impl(self, tables, rank_tables, data, k):
+        def body(_, acc):
+            return self._predict_impl(tables, rank_tables, data + acc[0] * 0.0)
+
+        return jax.lax.fori_loop(0, k, body, jnp.zeros(data.shape[0], jnp.float32))
+
+    # ------------------------------------------------------------------
+    def predict(self, data) -> jax.Array:
+        return self._predict(self.tables, self.rank_tables, jnp.asarray(data))
+
+    def predict_k(self, data, k: int) -> jax.Array:
+        return self._predict_k(self.tables, self.rank_tables,
+                               jnp.asarray(data), k=k)
+
+    def predict_planes(self, planes) -> jax.Array:
+        """Predict from pre-encoded int8 plane vectors (steady-state path)."""
+        margins = self._margins_planes(self.tables, jnp.asarray(planes))
+        return apply_output_transform(
+            margins, self.num_trees, self.output, self.global_bias,
+            self.threshold, jnp,
+        )
