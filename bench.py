@@ -1,21 +1,26 @@
 """Headline benchmark: SUSY-class per-sample latency on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <us/sample>, "unit": "us/sample", "vs_baseline": N}
+  {"metric": ..., "value": <us/sample>, "unit": "us/sample", "vs_baseline": N,
+   ...secondary metrics...}
 
-vs_baseline is the speedup over the reference's best published SUSY number
-(strategy 3, 0.120020 us/sample on its GPU — BASELINE.md): >1.0 means this
-framework is faster than Tahoe's best strategy on its own headline benchmark.
+``value`` is the best EXACT-strategy full-predict latency on an
+arbitrary-threshold SUSY-class forest (500 trees, depth 8, 18 features) —
+the apples-to-apples number against the reference's best published SUSY
+strategy (0.120020 us/sample on its GPU, BASELINE.md); vs_baseline > 1 means
+faster than Tahoe's best. Secondary keys report the int8 rank-MXU engine:
+full predict (rank transform inside the loop) and plane-resident steady state
+(inputs pre-encoded once per batch, the production serving path — the analog
+of the reference timing device-resident data, BaseTahoeTest.h:684-698).
 
-Methodology mirrors the reference (BaseTahoeTest.h:684-698): data uploaded
-once, warmup + timed epochs, correctness gate vs the CPU oracle at 1e-3 —
-with the timing done as a chained-iteration slope (k dependent predicts
-inside one jit, one host fence), because the remote TPU runtime acks
-dispatches before execution completes. Runs exactly one engine in this
-process (the axon runtime only device-caches the first large executable —
-see .claude/skills/verify/SKILL.md).
+All timings use the chained-iteration slope (the remote runtime acks
+dispatches before execution; naive timing measures enqueue rate — see
+.claude/skills/verify/SKILL.md). Exactly one engine family runs before the
+primary measurement (the runtime device-caches only the first large
+executable; the slope method cancels per-call re-ship overhead for the rest).
 """
 import argparse
+import functools
 import json
 import sys
 import time
@@ -23,53 +28,104 @@ import time
 import numpy as np
 
 REFERENCE_BEST_US = 0.120020  # Tahoe strategy 3 on SUSY, README.md:66-67
+REFERENCE_FIL_US = 0.990169   # Tahoe's FIL-style dense baseline, README.md:58
 
 
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--rows", type=int, default=16384)
-    p.add_argument("--epochs", type=int, default=50)
-    p.add_argument("--warmup", type=int, default=5)
-    p.add_argument("--quick", action="store_true", help="3 epochs, 4096 rows")
+    p.add_argument("--epochs", type=int, default=24)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--quick", action="store_true", help="small/fast variant")
     args = p.parse_args()
     if args.quick:
-        args.rows, args.epochs, args.warmup = 4096, 3, 1
+        args.rows, args.epochs, args.warmup = 4096, 6, 2
 
     import jax
     import jax.numpy as jnp
 
-    from tahoe_tpu.forest import compiler, synthetic
+    from tahoe_tpu.config import TpuLimits
+    from tahoe_tpu.forest import compiler, quantize, synthetic
     from tahoe_tpu.ops import oracle
     from tahoe_tpu.ops.fold_kernel import FoldKernelEngine
+    from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 
-    forest = synthetic.susy_class_forest(seed=0)  # 500 trees, depth 8, 18 cols
+    interpret = jax.default_backend() == "cpu"
+    forest = synthetic.susy_class_forest(seed=0)
     data = synthetic.generate_data(args.rows, 18, missing_prob=0.02, seed=1)
-    lev = compiler.levelize(forest)
-    eng = FoldKernelEngine(
-        lev, row_tile=256, tree_tile=64,
-        interpret=jax.default_backend() == "cpu",
-    )
-
-    from tahoe_tpu.engine.bench_worker import timed_epoch_seconds
-
+    want = oracle.predict(forest, data)
     data_d = jax.device_put(jnp.asarray(data))
-    dt = timed_epoch_seconds(eng, data_d, warmup=args.warmup, epochs=args.epochs)
-    us_per_sample = dt * 1e6 / args.rows
 
-    preds = eng.predict(data_d)
-    err = float(np.abs(np.asarray(preds) - oracle.predict(forest, data)).max())
-    if err > 1e-3:
+    def fence(r):
+        return float(np.asarray(r).ravel()[0])
+
+    def slope(run_k, k1, k2, n=3):
+        def timed(k):
+            fence(run_k(k))
+            ts = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                fence(run_k(k))
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        t1, t2 = timed(k1), timed(k2)
+        return max((t2 - t1) / (k2 - k1), 1e-9)
+
+    k1, k2 = args.warmup, args.warmup + args.epochs
+
+    # --- primary: fused f32 fold kernel (SPLIT_FOREST), exact, no transform --
+    fold = FoldKernelEngine(
+        compiler.levelize(forest), row_tile=256, tree_tile=64,
+        interpret=interpret,
+    )
+    t_fold = slope(lambda k: fold.predict_k(data_d, k), k1, k2)
+    us_fold = t_fold * 1e6 / args.rows
+    preds = fold.predict(data_d)
+    err = float(np.abs(np.asarray(preds) - want).max())
+
+    # --- secondary: int8 rank-MXU engine ------------------------------------
+    rank = RankFoldEngine(
+        forest, row_tile=256, tree_tile=32, interpret=interpret,
+        limits=TpuLimits(vmem_fraction=1.2),
+    )
+    t_rank_full = slope(lambda k: rank.predict_k(data_d, k), k1, k2)
+    us_rank_full = t_rank_full * 1e6 / args.rows
+
+    planes = jax.device_put(jnp.asarray(
+        quantize.encode_rank_planes_np(quantize.transform_rows_np(rank.q, data))
+    ))
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def planes_k(tables, pl_, k):
+        def body(_, acc):
+            pp = pl_ + (acc[:1, None] * 0).astype(jnp.int8)
+            return rank._margins_planes(tables, pp)
+
+        return jax.lax.fori_loop(0, k, body, jnp.zeros(pl_.shape[0], jnp.float32))
+
+    t_rank_planes = slope(lambda k: planes_k(rank.tables, planes, k), k1, k2)
+    us_rank_planes = t_rank_planes * 1e6 / args.rows
+    err_rank = float(np.abs(np.asarray(rank.predict(data_d)) - want).max())
+
+    if err > 1e-3 or err_rank > 1e-3:
         print(json.dumps({"metric": "SUSY-class per-sample latency",
                           "value": None, "unit": "us/sample",
-                          "vs_baseline": 0.0, "error": f"parity {err}"}))
+                          "vs_baseline": 0.0,
+                          "error": f"parity fold={err} rank={err_rank}"}))
         return 1
 
+    best_exact_full = min(us_fold, us_rank_full)
     print(json.dumps({
         "metric": "SUSY-class (500 trees, depth 8, 18 feat) per-sample latency",
-        "value": round(us_per_sample, 6),
+        "value": round(best_exact_full, 6),
         "unit": "us/sample",
-        "vs_baseline": round(REFERENCE_BEST_US / us_per_sample, 2),
-        "max_err_vs_oracle": err,
+        "vs_baseline": round(REFERENCE_BEST_US / best_exact_full, 3),
+        "vs_reference_fil_baseline": round(REFERENCE_FIL_US / best_exact_full, 2),
+        "fold_kernel_us": round(us_fold, 6),
+        "rank_mxu_full_us": round(us_rank_full, 6),
+        "rank_mxu_planes_us": round(us_rank_planes, 6),
+        "max_err_vs_oracle": max(err, err_rank),
         "rows": args.rows,
         "epochs": args.epochs,
         "device": str(jax.devices()[0]),

@@ -65,6 +65,11 @@ class Strategy(enum.Enum):
     TENSOR = 3
     VMEM_FOREST = 4
     SPLIT_FOREST = 5
+    # Framework-native sixth strategy with no direct reference counterpart in
+    # kernel form, but the spiritual successor of the reference's adaptive
+    # compressed node format (Struct.h:1827-1852): node tables rank-quantized
+    # to int8 and traversed via MXU matmuls (ops/rank_kernel.py).
+    RANK_MXU = 6
 
     @property
     def strategy_number(self) -> int:

@@ -54,4 +54,25 @@ def check(strategy: Strategy, forest: ForestSpec,
         # leveled form materializes 2^depth leaves per tree
         if forest.depth > 14:
             return f"leveled form of depth {forest.depth} is too large"
+    if strategy == Strategy.RANK_MXU:
+        from tahoe_tpu.forest.compiler import RANK_MAX, RANK_MAX_COLS
+        from tahoe_tpu.ops.rank_kernel import RankFoldEngine
+
+        if forest.num_cols > RANK_MAX_COLS:
+            return f"rank-MXU form supports <= {RANK_MAX_COLS} features"
+        # distinct thresholds per feature must fit the two-plane encoding
+        internal = ~forest.is_leaf
+        import numpy as np
+
+        for f in range(forest.num_cols):
+            m = internal & (forest.fids == f)
+            if m.any() and np.unique(forest.values[m]).size > RANK_MAX:
+                return f"feature {f} has > {RANK_MAX} distinct thresholds"
+        row_tile, tree_tile = 256, 32
+        need = RankFoldEngine.vmem_bytes(forest.depth, row_tile, tree_tile)
+        if need > limits.usable_vmem * 1.5:
+            return (
+                f"needs ~{need / 2**20:.1f} MiB VMEM per tile "
+                f"(budget {limits.usable_vmem / 2**20:.1f} MiB)"
+            )
     return None

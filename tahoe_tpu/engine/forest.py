@@ -88,6 +88,17 @@ class Forest:
             from tahoe_tpu.ops.gather_engine import GatherEngine
 
             eng = GatherEngine(self.compiled)
+        elif strategy == Strategy.RANK_MXU:
+            from tahoe_tpu.config import TpuLimits
+            from tahoe_tpu.ops.rank_kernel import RankFoldEngine
+
+            eng = RankFoldEngine(
+                self.spec,
+                row_tile=row_tile or 256,
+                tree_tile=tree_tile or 32,
+                interpret=interpret,
+                limits=TpuLimits(vmem_fraction=1.2),
+            )
         elif strategy in (Strategy.ROW_TILED, Strategy.TENSOR):
             from tahoe_tpu.ops.tensor_engine import TensorEngine
 

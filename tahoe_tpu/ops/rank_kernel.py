@@ -49,12 +49,16 @@ class RankFoldConfig(NamedTuple):
     seg: Tuple[int, ...]
     leaf_seg: int
     interpret: bool = False
+    # column chunk for the per-level matmul + fold (multiple of 128); wider
+    # chunks mean fewer, better-pipelined MXU calls
+    col_chunk: int = 512
 
 
 def _make_kernel(cfg: RankFoldConfig):
     D = cfg.depth
     TR = cfg.tree_tile
     Rt = cfg.row_tile
+    CH = cfg.col_chunk
 
     def kernel(p_ref, *refs):
         mat_refs = refs[0:D]
@@ -63,8 +67,8 @@ def _make_kernel(cfg: RankFoldConfig):
 
         planes = p_ref[:]  # [Rt, 128] int8
 
-        def cond_chunk(d, c0):
-            rhs = mat_refs[d][:, c0 : c0 + LANE]  # [128, 128] int8
+        def cond_chunk(d, c0, width):
+            rhs = mat_refs[d][:, c0 : c0 + width]  # [128, width] int8
             diff = jax.lax.dot_general(
                 planes, rhs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -74,23 +78,26 @@ def _make_kernel(cfg: RankFoldConfig):
         w = None
         for d in range(D - 1, -1, -1):
             n = (1 << d) * TR
-            n_chunks = _cdiv(n, LANE)
+            n_chunks = _cdiv(n, CH)
+            width = min(CH, max(n, LANE))
             new_w = []
             for c in range(n_chunks):
-                cnd = cond_chunk(d, c * LANE)
-                if w is None and n >= LANE:
+                cnd = cond_chunk(d, c * CH, width)
+                if w is None and n >= CH:
                     lo = jnp.broadcast_to(
-                        leaf_ref[:, c * LANE : (c + 1) * LANE], (Rt, LANE)
+                        leaf_ref[:, c * CH : (c + 1) * CH], (Rt, CH)
                     )
                     hi = jnp.broadcast_to(
-                        leaf_ref[:, n + c * LANE : n + (c + 1) * LANE],
-                        (Rt, LANE),
+                        leaf_ref[:, n + c * CH : n + (c + 1) * CH],
+                        (Rt, CH),
                     )
                 elif w is None:
-                    chunk = jnp.broadcast_to(leaf_ref[:, :LANE], (Rt, LANE))
+                    chunk = jnp.broadcast_to(
+                        leaf_ref[:, : 2 * max(n, LANE // 2)], (Rt, 2 * max(n, LANE // 2))
+                    )
                     lo, hi = chunk[:, :n], chunk[:, n : 2 * n]
                     cnd = cnd[:, :n]
-                elif n >= LANE:
+                elif n >= CH:
                     lo, hi = w[c], w[c + n_chunks]
                 else:
                     lo, hi = w[0][:, :n], w[0][:, n : 2 * n]

@@ -20,6 +20,7 @@ dispatches before execution, so ``block_until_ready`` alone measures nothing
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Optional
 
@@ -88,6 +89,29 @@ def measure(force: bool = False) -> Calibration:
     data_d = jax.device_put(jnp.asarray(data))
     nodes_per_row = trees * (1 << depth)
 
+    # --- dispatch + HBM first: small executables, before any engine claims
+    # the device program cache ---------------------------------------------
+    z = jnp.ones((8, 128), jnp.float32)
+    null = jax.jit(lambda v: v + 1.0)
+    null(z).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(20):
+        null(z).block_until_ready()
+    dispatch_us = (time.perf_counter() - t0) / 20 * 1e6
+
+    big = jnp.ones((32 * 1024 * 1024,), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def hbm_k(b, k):
+        def body(i, a):
+            # scale by a carry-dependent value so nothing hoists out
+            return (b * (jnp.float32(1.0) + a * jnp.float32(1e-30))).sum()
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    t = _slope_time(lambda k: hbm_k(big, k=k), k1=4, k2=16)
+    hbm_gbps = min(4 * big.size / t / 1e9, 1200.0)
+
     # --- fused fold kernel ---------------------------------------------------
     from tahoe_tpu.ops.fold_kernel import FoldKernelEngine
 
@@ -109,24 +133,6 @@ def measure(force: bool = False) -> Calibration:
     xla = TensorEngine(lev, select_mode="take", row_tile=256)
     t = _slope_time(lambda k: xla.predict_k(data_d, k), k1=1, k2=5)
     xla_node_ns = t / rows / nodes_per_row * 1e9
-
-    # --- HBM bandwidth + dispatch -------------------------------------------
-    big = jnp.ones((32 * 1024 * 1024,), jnp.float32)
-    stream = jax.jit(lambda v: (v * jnp.float32(1.0000001)).sum())
-    t = _slope_time(
-        lambda k: jax.lax.fori_loop(
-            0, k, lambda i, a: a + stream(big + a * 0), jnp.float32(0)
-        ),
-        k1=2, k2=8,
-    )
-    hbm_gbps = 4 * big.size / t / 1e9
-
-    z = jnp.ones((8, 128), jnp.float32)
-    null = jax.jit(lambda v: v + 1.0)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        null(z).block_until_ready()
-    dispatch_us = (time.perf_counter() - t0) / 10 * 1e6
 
     _cached = Calibration(
         fold_node_ns=fold_node_ns,

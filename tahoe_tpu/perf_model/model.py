@@ -70,6 +70,22 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
             compute += macs / 49e12  # ~f32-equivalent MXU throughput
         return CostBreakdown(compute, 0.0, dispatch)
 
+    if strategy == Strategy.RANK_MXU:
+        # MXU matmul selection + 2 VPU ops/node; plus the per-batch rank
+        # transform proportional to total distinct thresholds
+        compute = rows * nodes_per_row * cal.fold_node_ns / 1e9 * 0.55
+        import numpy as np
+
+        internal = ~forest.is_leaf
+        k_total = sum(
+            int(np.unique(forest.values[internal & (forest.fids == f)]).size)
+            for f in range(forest.num_cols)
+        )
+        # ~2.3 ps per (row, distinct-threshold) measured for the XLA
+        # compare-sum transform on v5e
+        transform = rows * k_total * 2.3e-12
+        return CostBreakdown(compute + transform, 0.0, dispatch)
+
     # fused fold kernel strategies
     row_tile, tree_tile = feasibility.default_tiles(strategy, forest)
     compute = rows * nodes_per_row * cal.fold_node_ns / 1e9
