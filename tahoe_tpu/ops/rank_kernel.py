@@ -265,12 +265,12 @@ class RankFoldEngine:
 
         leaf_p = pad_tree_axis(leaf, np.float32(0))
         self.tables = (*tabs, jnp.asarray(tile_node_major(leaf_p, np.float32(0))))
-        # rank tables as a padded device array for the in-jit transform
-        kmax = max(self.q.max_ranks, 1)
-        padded = np.full((self.num_cols, kmax), np.inf, np.float32)
-        for f, t in enumerate(self.q.tables):
-            padded[f, : len(t)] = t
-        self.rank_tables = jnp.asarray(padded)
+        # rank tables as a NaN-padded device array for the fused transform
+        from tahoe_tpu.ops.rank_transform import pad_threshold_tables
+
+        self.rank_tables = jnp.asarray(
+            pad_threshold_tables(self.q.tables, self.num_cols)
+        )
         self.cfg = RankFoldConfig(
             depth=D, row_tile=self.row_tile, tree_tile=TR, padded_trees=Tp,
             seg=tuple(self.seg), leaf_seg=self.leaf_seg,
@@ -278,21 +278,30 @@ class RankFoldEngine:
         )
 
     # ------------------------------------------------------------------
-    def _transform(self, rank_tables, data):
-        """f32 rows → int8 plane vectors, fully on device."""
-        data = data.astype(jnp.float32)
+    def _canonicalize(self, data):
+        """f32 rows → NaN-missing, 128-lane-padded, row_tile-padded."""
+        x = data.astype(jnp.float32)
         missing = self.q.spec.missing
         if np.isnan(np.float32(missing)):
-            miss = jnp.isnan(data)
+            miss = jnp.isnan(x)
         else:
             from tahoe_tpu.config import MISSING_EPS
 
-            miss = jnp.abs(data - jnp.float32(missing)) <= jnp.float32(MISSING_EPS)
-        ranks = (data[:, :, None] >= rank_tables[None, :, :]).sum(
-            axis=2
-        ).astype(jnp.float32)
-        ranks = jnp.where(miss, jnp.float32(np.nan), ranks)
-        return encode_rank_planes_device(ranks)
+            miss = jnp.abs(x - jnp.float32(missing)) <= jnp.float32(MISSING_EPS)
+        x = jnp.where(miss, jnp.float32(np.nan), x)
+        x = jnp.pad(x, ((0, (-x.shape[0]) % self.row_tile),
+                        (0, LANE - x.shape[1])))
+        return x
+
+    def _transform(self, rank_tables, data):
+        """f32 rows → int8 plane vectors via the fused Pallas transform
+        (rank_transform.py); output row count is row_tile-padded."""
+        from tahoe_tpu.ops.rank_transform import rank_planes_kernel
+
+        x = self._canonicalize(data)
+        return rank_planes_kernel(
+            x, rank_tables, row_tile=self.row_tile, interpret=self.interpret
+        )
 
     def _margins_planes(self, tables, planes):
         rows = planes.shape[0]
@@ -304,8 +313,9 @@ class RankFoldEngine:
         return rank_fold_margins(self.cfg, tables, planes)[:rows]
 
     def _predict_impl(self, tables, rank_tables, data):
+        rows = data.shape[0]
         planes = self._transform(rank_tables, data)
-        margins = self._margins_planes(tables, planes)
+        margins = self._margins_planes(tables, planes)[:rows]
         return apply_output_transform(
             margins, self.num_trees, self.output, self.global_bias,
             self.threshold, jnp,
