@@ -82,7 +82,7 @@ def measure(force: bool = False) -> Calibration:
 
     from tahoe_tpu.forest import compiler, synthetic
 
-    trees, depth, cols, rows = 128, 7, 18, 4096
+    trees, depth, cols, rows = 128, 7, 18, 1024
     forest = synthetic.generate_forest(trees, depth, cols, seed=5)
     data = synthetic.generate_data(rows, cols, seed=6)
     lev = compiler.levelize(forest)
@@ -130,7 +130,8 @@ def measure(force: bool = False) -> Calibration:
     # --- XLA fold (take mode) ------------------------------------------------
     from tahoe_tpu.ops.tensor_engine import TensorEngine
 
-    xla = TensorEngine(lev, select_mode="take", row_tile=256)
+    # row_tile = rows → one lax.map chunk → much cheaper remote compile
+    xla = TensorEngine(lev, select_mode="take", row_tile=rows)
     t = _slope_time(lambda k: xla.predict_k(data_d, k), k1=1, k2=5)
     xla_node_ns = t / rows / nodes_per_row * 1e9
 
@@ -162,7 +163,7 @@ def measure_subprocess() -> Calibration:
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable, "-m", "tahoe_tpu.perf_model.calibrate"],
-        capture_output=True, text=True, env=env, timeout=900,
+        capture_output=True, text=True, env=env, timeout=1800,
     )
     for line in reversed(out.stdout.strip().splitlines() or [""]):
         if line.strip().startswith("{"):
