@@ -17,8 +17,6 @@ import argparse
 import sys
 import time
 
-import numpy as np
-
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
@@ -41,7 +39,7 @@ def main(argv=None) -> int:
 
     from tahoe_tpu.config import Strategy
     from tahoe_tpu.engine import autotune
-    from tahoe_tpu.engine.forest import Forest, _peek_data_header
+    from tahoe_tpu.engine.forest import _peek_data_header
     from tahoe_tpu.forest import io
     from tahoe_tpu.perf_model import calibrate, model
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-from tahoe_tpu.config import Strategy, TpuLimits, tree_num_nodes
+from tahoe_tpu.config import Strategy, TpuLimits
 from tahoe_tpu.forest.spec import ForestSpec
 from tahoe_tpu.ops.fold_kernel import LANE, FoldKernelEngine
 

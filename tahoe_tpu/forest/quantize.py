@@ -26,7 +26,7 @@ compare — engines then apply def_right routing through their usual mask).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

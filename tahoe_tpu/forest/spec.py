@@ -13,8 +13,6 @@ Heap order: node 0 is the root; children of node i are 2i+1 / 2i+2
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 from tahoe_tpu.config import Output, tree_num_nodes

@@ -7,8 +7,6 @@ capability here, vectorized over numpy instead of per-node loops.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from tahoe_tpu.config import Output, tree_num_nodes

@@ -37,10 +37,6 @@ unconditional vectorized select steps per tree tile.
 """
 from __future__ import annotations
 
-import functools
-import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

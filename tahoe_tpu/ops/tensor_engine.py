@@ -27,7 +27,6 @@ identical to Struct.h:365-403 / 894-898.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Literal
 
 import jax

@@ -13,7 +13,6 @@ cuda_base.h:103).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -76,11 +75,6 @@ class ShardedForestEngine:
         base_cfg = self._base.cfg
         tiles_total = base_cfg.padded_trees // base_cfg.tree_tile
         if tiles_total % self.n_model:
-            # re-pad: rebuild with a tree count divisible by n_model shards
-            import dataclasses
-
-            from tahoe_tpu.forest import compiler  # noqa: F401 (doc pointer)
-
             raise ValueError(
                 f"{tiles_total} tree tiles not divisible by model axis "
                 f"{self.n_model}; choose tree_tile so tiles divide evenly"
