@@ -75,3 +75,13 @@ def test_too_many_features_rejected():
     lev = compiler.levelize(forest)
     with pytest.raises(NotImplementedError):
         FoldKernelEngine(lev, interpret=True)
+
+
+def test_depth_nine():
+    """covtype-class depth; exercises multi-chunk levels beyond 2^8."""
+    forest = synthetic.generate_forest(12, 9, 16, leaf_prob=0.1, seed=99)
+    data = synthetic.generate_data(21, 16, missing_prob=0.1, seed=199)
+    eng = _engine(forest, row_tile=8, tree_tile=8)
+    np.testing.assert_allclose(
+        np.asarray(eng.predict(data)), oracle.predict(forest, data), atol=1e-5
+    )
