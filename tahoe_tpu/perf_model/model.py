@@ -81,9 +81,9 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
             int(np.unique(forest.values[internal & (forest.fids == f)]).size)
             for f in range(forest.num_cols)
         )
-        # ~2.3 ps per (row, distinct-threshold) measured for the XLA
-        # compare-sum transform on v5e
-        transform = rows * k_total * 2.3e-12
+        # ~0.7 ps per (row, distinct-threshold) measured for the fused Pallas
+        # transform on v5e (rank_transform.py)
+        transform = rows * k_total * 0.7e-12
         return CostBreakdown(compute + transform, 0.0, dispatch)
 
     # fused fold kernel strategies
