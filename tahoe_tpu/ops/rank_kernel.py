@@ -265,12 +265,23 @@ class RankFoldEngine:
 
         leaf_p = pad_tree_axis(leaf, np.float32(0))
         self.tables = (*tabs, jnp.asarray(tile_node_major(leaf_p, np.float32(0))))
-        # rank tables as a NaN-padded device array for the fused transform
-        from tahoe_tpu.ops.rank_transform import pad_threshold_tables
-
-        self.rank_tables = jnp.asarray(
-            pad_threshold_tables(self.q.tables, self.num_cols)
+        # rank-transform tables: the bucketed v2 kernel wins once tables are
+        # big enough to amortize its fixed per-feature cost; the flat v1
+        # compare sweep wins for hist-style (<=256-threshold) tables
+        from tahoe_tpu.ops.rank_transform import (
+            build_bucket_tables,
+            pad_threshold_tables,
         )
+
+        u_pad = pad_threshold_tables(self.q.tables, self.num_cols)
+        self._transform_v2 = u_pad.shape[1] > 256
+        if self._transform_v2:
+            cmax, digs, self._bucket_s = build_bucket_tables(
+                self.q.tables, self.num_cols
+            )
+            self.rank_tables = (cmax, digs)
+        else:
+            self.rank_tables = (jnp.asarray(u_pad),)
         self.cfg = RankFoldConfig(
             depth=D, row_tile=self.row_tile, tree_tile=TR, padded_trees=Tp,
             seg=tuple(self.seg), leaf_seg=self.leaf_seg,
@@ -296,11 +307,21 @@ class RankFoldEngine:
     def _transform(self, rank_tables, data):
         """f32 rows → int8 plane vectors via the fused Pallas transform
         (rank_transform.py); output row count is row_tile-padded."""
-        from tahoe_tpu.ops.rank_transform import rank_planes_kernel
+        from tahoe_tpu.ops.rank_transform import (
+            rank_planes_kernel,
+            rank_planes_kernel_v2,
+        )
 
         x = self._canonicalize(data)
+        if self._transform_v2:
+            cmax, digs = rank_tables
+            return rank_planes_kernel_v2(
+                x, cmax, digs, self._bucket_s, row_tile=self.row_tile,
+                interpret=self.interpret,
+            )
         return rank_planes_kernel(
-            x, rank_tables, row_tile=self.row_tile, interpret=self.interpret
+            x, rank_tables[0], row_tile=self.row_tile,
+            interpret=self.interpret,
         )
 
     def _margins_planes(self, tables, planes):
