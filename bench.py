@@ -70,6 +70,13 @@ def main() -> int:
             return float(np.median(ts))
 
         t1, t2 = timed(k1), timed(k2)
+        # noise guard: deltas below ~20 ms are jitter-dominated (fence RTT
+        # ~25 ms) — stretch the chain until the slope is trustworthy
+        tries = 0
+        while (t2 - t1) < 0.02 and tries < 4:
+            k2 = k1 + (k2 - k1) * max(2, int(0.04 / max(t2 - t1, 1e-3)))
+            t2 = timed(k2)
+            tries += 1
         return max((t2 - t1) / (k2 - k1), 1e-9)
 
     k1, k2 = args.warmup, args.warmup + args.epochs
@@ -86,7 +93,7 @@ def main() -> int:
 
     # --- secondary: int8 rank-MXU engine ------------------------------------
     rank = RankFoldEngine(
-        forest, row_tile=256, tree_tile=32, interpret=interpret,
+        forest, row_tile=128, tree_tile=64, interpret=interpret,
         limits=TpuLimits(vmem_fraction=1.2),
     )
     t_rank_full = slope(lambda k: rank.predict_k(data_d, k), k1, k2)

@@ -40,6 +40,9 @@ SHAPES = [
     ("letter_like",  160, 7, 16,  4000,  0.00),
     ("covtype_like", 250, 9, 54,  6000,  0.00),
     ("year_like",    120, 7, 90,  4000,  0.01),
+    # deep-forest families (exercise the subtree-blocked fold path)
+    ("deep12_like",  100, 12, 28, 4000,  0.01),
+    ("deep14_like",  60,  14, 20, 2000,  0.00),
 ]
 
 

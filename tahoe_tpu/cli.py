@@ -35,6 +35,8 @@ def main(argv=None) -> int:
                    help="subset of strategy names to enumerate")
     p.add_argument("--no-calibrate", action="store_true",
                    help="use nominal hardware constants")
+    p.add_argument("--tune-tiles", action="store_true",
+                   help="also search kernel tile shapes per strategy")
     args = p.parse_args(argv)
 
     from tahoe_tpu.config import Strategy
@@ -79,6 +81,7 @@ def main(argv=None) -> int:
         strategies=strategies,
         subprocess_isolation=not args.no_isolation,
         warmup=args.warmup, epochs=args.epochs,
+        tune_tiles=args.tune_tiles,
     )
 
     best = autotune.best_strategy(results)

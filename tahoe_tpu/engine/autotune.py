@@ -37,10 +37,31 @@ class StrategyResult:
     correct: bool = False
     skipped_reason: Optional[str] = None
     error: Optional[str] = None
+    # (row_tile, tree_tile) that produced us_per_sample; None = defaults
+    tiles: Optional[tuple] = None
 
     @property
     def ran(self) -> bool:
         return self.skipped_reason is None and self.error is None
+
+
+def tile_candidates(strategy: Strategy, spec: ForestSpec):
+    """Tile configs to try per strategy when tile tuning is on. The defaults
+    come first; extra candidates are the measured near-winners on v5e
+    (scripts/tile_sweep.py). Infeasible candidates fail cleanly in the worker
+    and are skipped."""
+    if strategy in (Strategy.SPLIT_FOREST, Strategy.RANK_MXU):
+        cands = [None, (128, 64), (128, 128), (256, 64)]
+    elif strategy == Strategy.VMEM_FOREST:
+        cands = [None, (128, max(8, spec.num_trees))]
+    else:
+        return [None]
+    seen, out = set(), []
+    for c in cands:
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
 
 
 def enumerate_strategies(
@@ -52,6 +73,7 @@ def enumerate_strategies(
     warmup: int = WARMUP_EPOCHS,
     epochs: int = TIMED_EPOCHS,
     verbose: bool = True,
+    tune_tiles: bool = False,
 ) -> Dict[Strategy, StrategyResult]:
     results: Dict[Strategy, StrategyResult] = {}
     with tempfile.TemporaryDirectory(prefix="tahoe_bench_") as td:
@@ -61,17 +83,25 @@ def enumerate_strategies(
         np.save(data_path, np.asarray(data, np.float32))
 
         for s in strategies:
+            cands = tile_candidates(s, spec) if tune_tiles else [None]
             r = StrategyResult(strategy=s)
-            payload = _run_one(spec_path, data_path, s, warmup, epochs,
-                               subprocess_isolation)
-            if "skipped" in payload:
-                r.skipped_reason = payload["skipped"]
-            elif "error" in payload:
-                r.error = payload["error"]
-            else:
-                r.us_per_sample = payload["us_per_sample"]
-                r.max_err = payload["max_err"]
-                r.correct = payload["correct"]
+            for tiles in cands:
+                payload = _run_one(spec_path, data_path, s, warmup, epochs,
+                                   subprocess_isolation, tiles)
+                cand = StrategyResult(strategy=s, tiles=tiles)
+                if "skipped" in payload:
+                    cand.skipped_reason = payload["skipped"]
+                elif "error" in payload:
+                    cand.error = payload["error"]
+                else:
+                    cand.us_per_sample = payload["us_per_sample"]
+                    cand.max_err = payload["max_err"]
+                    cand.correct = payload["correct"]
+                if tiles is None:
+                    r = cand
+                elif (cand.ran and cand.correct
+                      and cand.us_per_sample < r.us_per_sample):
+                    r = cand
             results[s] = r
             if verbose:
                 _print_result(r)
@@ -85,7 +115,9 @@ def best_strategy(results: Dict[Strategy, StrategyResult]) -> Optional[Strategy]
     return min(ran, key=lambda r: r.us_per_sample).strategy
 
 
-def _run_one(spec_path, data_path, strategy, warmup, epochs, isolate) -> dict:
+def _run_one(spec_path, data_path, strategy, warmup, epochs, isolate,
+             tiles=None) -> dict:
+    rt, tt = tiles if tiles else (None, None)
     if isolate:
         env = dict(os.environ)
         repo_root = os.path.abspath(
@@ -101,6 +133,7 @@ def _run_one(spec_path, data_path, strategy, warmup, epochs, isolate) -> dict:
         cmd = [
             sys.executable, "-m", "tahoe_tpu.engine.bench_worker",
             spec_path, data_path, strategy.name, str(warmup), str(epochs),
+            str(rt) if rt else "-", str(tt) if tt else "-",
         ]
         try:
             out = subprocess.run(
@@ -119,7 +152,8 @@ def _run_one(spec_path, data_path, strategy, warmup, epochs, isolate) -> dict:
                          f"{out.stderr.strip()[-300:]})"}
     from tahoe_tpu.engine import bench_worker
 
-    return bench_worker.run(spec_path, data_path, strategy.name, warmup, epochs)
+    return bench_worker.run(spec_path, data_path, strategy.name, warmup,
+                            epochs, rt, tt)
 
 
 def _print_result(r: StrategyResult) -> None:
@@ -133,8 +167,9 @@ def _print_result(r: StrategyResult) -> None:
         print(f"Using the #{n} strategy ({r.strategy.name}): FAILED — {r.error}")
         return
     verdict = "correct" if r.correct else "INCORRECT"
+    tiles = f" [tiles {r.tiles[0]}x{r.tiles[1]}]" if r.tiles else ""
     print(
         f"Using the #{n} strategy ({r.strategy.name}): "
         f"{r.us_per_sample:.6f} us/sample — results are {verdict} "
-        f"(max err {r.max_err:.2e}, tol {ORACLE_ATOL})"
+        f"(max err {r.max_err:.2e}, tol {ORACLE_ATOL}){tiles}"
     )

@@ -9,7 +9,8 @@ bandwidth instead of kernel speed. One strategy per process keeps every
 measurement honest. On a local TPU runtime this isolation is unnecessary but
 harmless.
 
-Protocol: argv = forest.npz data.npy strategy_name warmup epochs;
+Protocol: argv = forest.npz data.npy strategy_name warmup epochs
+[row_tile tree_tile] ("-" = strategy default);
 stdout = one JSON line {us_per_sample, correct, max_err, rows}.
 """
 from __future__ import annotations
@@ -22,7 +23,7 @@ import numpy as np
 
 
 def run(spec_path: str, data_path: str, strategy_name: str,
-        warmup: int, epochs: int) -> dict:
+        warmup: int, epochs: int, row_tile=None, tree_tile=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +40,7 @@ def run(spec_path: str, data_path: str, strategy_name: str,
     if reason is not None:
         return {"skipped": reason}
 
-    eng = forest.engine(strategy)
+    eng = forest.engine(strategy, row_tile=row_tile, tree_tile=tree_tile)
     data_d = jax.device_put(jnp.asarray(data, jnp.float32))
 
     dt = timed_epoch_seconds(eng, data_d, warmup=warmup, epochs=epochs)
@@ -87,13 +88,28 @@ def timed_epoch_seconds(eng, data_d, *, warmup: int, epochs: int,
     per_call_est = t1 / k1
     k2 = k1 + max(4, min(epochs, int(budget_s / max(per_call_est, 1e-4))))
     t2 = timed(k2)
+    # Noise guard: the fence RTT is ~25 ms, so a slope measured from a delta
+    # below ~20 ms is dominated by jitter (fast engines / small batches).
+    # Stretch the chain until the delta is comfortably above the noise floor.
+    tries = 0
+    while (t2 - t1) < 0.02 and tries < 4:
+        grow = max(2, int(0.04 / max(t2 - t1, 1e-3)))
+        k2 = k1 + (k2 - k1) * grow
+        if per_call_est * k2 > budget_s * 4:
+            break
+        t2 = timed(k2)
+        tries += 1
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
 def main(argv):
     spec_path, data_path, strategy_name, warmup, epochs = argv[:5]
+    tiles = argv[5:7]
+    rt = int(tiles[0]) if len(tiles) > 0 and tiles[0] != "-" else None
+    tt = int(tiles[1]) if len(tiles) > 1 and tiles[1] != "-" else None
     try:
-        result = run(spec_path, data_path, strategy_name, int(warmup), int(epochs))
+        result = run(spec_path, data_path, strategy_name, int(warmup),
+                     int(epochs), rt, tt)
     except Exception as e:  # report failures as data, not tracebacks
         result = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(result), flush=True)

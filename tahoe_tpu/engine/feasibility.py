@@ -27,12 +27,23 @@ def default_tiles(strategy: Strategy, forest: ForestSpec,
     if strategy == Strategy.VMEM_FOREST:
         tree_tile = max(8, trees)
     else:
-        tree_tile = min(64, max(8, trees))
+        # power-of-2 like the engine's internal rounding (fold_kernel tt)
+        tree_tile = 1 << (min(64, max(8, trees)) - 1).bit_length()
+    ge_ok = 2 * forest.num_cols <= LANE
     row_tile = 256
-    while row_tile > 8 and FoldKernelEngine.vmem_bytes(
-        forest.depth, row_tile, tree_tile
+    while FoldKernelEngine.min_vmem_bytes(
+        forest.depth, row_tile, tree_tile, ge_ok
     ) > limits.usable_vmem:
-        row_tile //= 2
+        # Shrink the tree chunk first (SPLIT_FOREST semantics): level tables
+        # stream once per row tile, so tiny row tiles multiply HBM traffic,
+        # while tree chunks only change the accumulation grid. The reference
+        # makes the same trade by capping trees_per_sm (Struct.h:2103-2164).
+        if strategy != Strategy.VMEM_FOREST and tree_tile > 8:
+            tree_tile //= 2
+        elif row_tile > 8:
+            row_tile //= 2
+        else:
+            break
     return row_tile, tree_tile
 
 
@@ -44,7 +55,9 @@ def check(strategy: Strategy, forest: ForestSpec,
         if forest.num_cols > LANE:
             return f"fold kernel needs <= {LANE} features, forest has {forest.num_cols}"
         row_tile, tree_tile = default_tiles(strategy, forest, limits)
-        need = FoldKernelEngine.vmem_bytes(forest.depth, row_tile, tree_tile)
+        need = FoldKernelEngine.min_vmem_bytes(
+            forest.depth, row_tile, tree_tile, 2 * forest.num_cols <= LANE
+        )
         if need > limits.usable_vmem:
             return (
                 f"needs ~{need / 2**20:.1f} MiB VMEM per tile "
@@ -68,7 +81,7 @@ def check(strategy: Strategy, forest: ForestSpec,
             m = internal & (forest.fids == f)
             if m.any() and np.unique(forest.values[m]).size > RANK_MAX:
                 return f"feature {f} has > {RANK_MAX} distinct thresholds"
-        row_tile, tree_tile = 256, 32
+        row_tile, tree_tile = 128, 64
         need = RankFoldEngine.vmem_bytes(forest.depth, row_tile, tree_tile)
         if need > limits.usable_vmem * 1.5:
             return (

@@ -68,6 +68,14 @@ class FoldConfig(NamedTuple):
     # ge mode: single-compare tables from compiler.ge_normalize — one lane
     # gather + one >= per node, missing/exchange folded away at compile time
     ge: bool = False
+    # deep-forest subtree blocking (ge mode only): levels > split_level are
+    # folded one bottom subtree at a time, capping the live w buffer at
+    # ~2^(depth-split_level-1)*TR + 2^split_level*TR columns instead of
+    # 2^(depth-1)*TR. 0 = plain whole-level fold. Level tables for
+    # d > split_level are laid out subtree-major (see _subtree_reorder); the
+    # TPU rendition of streaming tree chunks through fast memory that the
+    # reference's SPLIT_FOREST realizes with smem chunks (Struct.h:1414-1606).
+    split_level: int = 0
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -95,6 +103,7 @@ class FoldKernelEngine:
         tree_tile: int = 64,
         interpret: bool = False,
         ge_mode: bool | None = None,
+        split_level: int | None = None,
         limits: TpuLimits = TpuLimits(),
     ):
         if leveled.num_cols > LANE:
@@ -124,7 +133,29 @@ class FoldKernelEngine:
         self.tree_tile = 1 << (tt - 1).bit_length()
         self.interpret = interpret
 
-        need = self.vmem_bytes(leveled.depth, self.row_tile, self.tree_tile)
+        if split_level is None:
+            # smallest split level whose peak VMEM fits (0 = plain fold)
+            candidates = self.valid_split_levels(
+                leveled.depth, self.tree_tile, self.ge_mode
+            )
+            split_level = next(
+                (ls for ls in candidates if self.vmem_bytes(
+                    leveled.depth, self.row_tile, self.tree_tile, ls
+                ) <= limits.usable_vmem),
+                candidates[0],
+            )
+        elif split_level > 0 and split_level not in self.valid_split_levels(
+            leveled.depth, self.tree_tile, self.ge_mode
+        ):
+            raise ValueError(
+                f"split_level {split_level} invalid for depth "
+                f"{leveled.depth}, tree_tile {self.tree_tile}, "
+                f"ge_mode {self.ge_mode}"
+            )
+        self.split_level = split_level
+
+        need = self.vmem_bytes(leveled.depth, self.row_tile, self.tree_tile,
+                               split_level)
         if not interpret and need > limits.usable_vmem:
             raise ValueError(
                 f"tile needs ~{need/2**20:.1f} MiB VMEM > budget "
@@ -141,13 +172,49 @@ class FoldKernelEngine:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def vmem_bytes(depth: int, row_tile: int, tree_tile: int) -> int:
-        """Rough peak VMEM estimate for feasibility checks: level tables plus
-        the largest live w buffer and its successor (Mosaic reuses the rest)."""
+    def vmem_bytes(depth: int, row_tile: int, tree_tile: int,
+                   split_level: int = 0) -> int:
+        """Rough peak VMEM estimate for feasibility checks: level tables
+        (x2 — Pallas double-buffers streamed input blocks across grid steps)
+        plus the largest live w buffer x1.25 (measured Mosaic scoped-vmem
+        reuse on v5e: 21.4M actual for a 16.8M w_top at depth 8/TR=128).
+        With subtree blocking the live w is one subtree's top level plus the
+        accumulated roots."""
         nodes = (1 << depth) - 1
-        tables = tree_tile * (nodes * (4 + 4 + 1 + 1) + (1 << depth) * 4)
-        w_top = row_tile * (1 << max(depth - 1, 0)) * tree_tile * 4
-        return int(tables + w_top + w_top // 2 + row_tile * LANE * 8)
+        tables = 2 * tree_tile * (nodes * (4 + 4 + 1 + 1) + (1 << depth) * 4)
+        if split_level > 0:
+            db = depth - split_level
+            w_live = row_tile * tree_tile * 4 * (
+                (1 << max(db - 1, 0)) * 5 // 4 + (1 << split_level)
+            )
+        else:
+            w_top = row_tile * (1 << max(depth - 1, 0)) * tree_tile * 4
+            w_live = w_top + w_top // 4
+        return int(tables + w_live + row_tile * LANE * 8)
+
+    @classmethod
+    def valid_split_levels(cls, depth: int, tree_tile: int,
+                           ge_mode: bool) -> list:
+        """Usable split levels, smallest first (0 = plain fold). Subtree
+        blocking needs ge mode and both the root span and every subtree's
+        leaf slab to cover at least one 128-lane vreg."""
+        out = [0]
+        if ge_mode:
+            for ls in range(1, depth):
+                if (tree_tile << ls) >= LANE and (
+                    tree_tile << (depth - ls)
+                ) >= LANE:
+                    out.append(ls)
+        return out
+
+    @classmethod
+    def min_vmem_bytes(cls, depth: int, row_tile: int, tree_tile: int,
+                       ge_mode: bool = True) -> int:
+        """Min peak VMEM over allowed split levels (for feasibility checks)."""
+        return min(
+            cls.vmem_bytes(depth, row_tile, tree_tile, ls)
+            for ls in cls.valid_split_levels(depth, tree_tile, ge_mode)
+        )
 
     # ------------------------------------------------------------------
     def _build_tables(self, lev: LeveledForest) -> None:
@@ -181,17 +248,33 @@ class FoldKernelEngine:
 
         self.seg = [_round_up((1 << d) * TR, LANE) for d in range(D)]
         self.leaf_seg = _round_up((1 << D) * TR, LANE)
+
+        Ls = self.split_level
+
+        def subtree_reorder(a, d):
+            """Bit-reversed level order → subtree-major order for levels below
+            the split: index j = c*2^Ls + s (s = level-Ls ancestor, c =
+            within-subtree bit-reversed path) → j' = s*2^b + c, so each
+            subtree's nodes become one contiguous span."""
+            b = d - Ls
+            if Ls == 0 or b <= 0:
+                return a
+            T_ = a.shape[0]
+            return np.ascontiguousarray(
+                a.reshape(T_, 1 << b, 1 << Ls).transpose(0, 2, 1)
+            ).reshape(T_, -1)
+
         if self.ge_mode:
             from tahoe_tpu.forest.compiler import ge_normalize
 
             fid_l, thr_l, leaf_ge = ge_normalize(lev)
             thresh, fid = [], []
             for d in range(D):
-                th = pad_tree_axis(thr_l[d], np.float32(np.nan))
-                fd = pad_tree_axis(fid_l[d], np.int32(0))
+                th = pad_tree_axis(subtree_reorder(thr_l[d], d), np.float32(np.nan))
+                fd = pad_tree_axis(subtree_reorder(fid_l[d], d), np.int32(0))
                 thresh.append(jnp.asarray(tile_node_major(th, np.float32(np.nan))))
                 fid.append(jnp.asarray(tile_node_major(fd, np.int32(0))))
-            leaf = pad_tree_axis(leaf_ge, np.float32(0))
+            leaf = pad_tree_axis(subtree_reorder(leaf_ge, D), np.float32(0))
             self.tables = (*thresh, *fid,
                            jnp.asarray(tile_node_major(leaf, np.float32(0))))
         else:
@@ -217,6 +300,7 @@ class FoldKernelEngine:
             depth=D, row_tile=self.row_tile, tree_tile=TR, padded_trees=Tp,
             seg=tuple(self.seg), leaf_seg=self.leaf_seg,
             interpret=self.interpret, ge=self.ge_mode,
+            split_level=self.split_level,
         )
 
     # ------------------------------------------------------------------
@@ -334,41 +418,78 @@ def _make_kernel(cfg: FoldConfig):
         # computed and nothing is ever concatenated, so every intermediate
         # stays in vector registers.
         if cfg.ge:
+            Ls = cfg.split_level
+
             def cond_chunk(d, c0):
                 idx = jnp.broadcast_to(fid_refs[d][:, c0 : c0 + LANE], (Rt, LANE))
                 xv = jnp.take_along_axis(x, idx, axis=1)
                 return xv >= th_refs[d][:, c0 : c0 + LANE]
 
-            w = None  # list of [Rt, 128] chunks covering n = 2^d * TR cols
-            for d in range(D - 1, -1, -1):
-                n = (1 << d) * TR
+            def leaf_bcast(c0):
+                return jnp.broadcast_to(leaf_ref[:, c0 : c0 + LANE], (Rt, LANE))
+
+            def fold_level(d, n, off, leaf_off, w):
+                """One fold level: conds from level-d table columns
+                [off, off+n); children from the chunk list ``w`` (covering
+                [off*2 span]) or, when ``w`` is None, from the leaf slab at
+                ``leaf_off`` (width 2n)."""
                 n_chunks = _cdiv(n, LANE)
                 new_w = []
                 for c in range(n_chunks):
-                    cnd = cond_chunk(d, c * LANE)
+                    if n >= LANE:
+                        cnd = cond_chunk(d, off + c * LANE)
+                    else:
+                        # sub-vreg span: read an aligned 128 window and cut
+                        # (off is a multiple of n, so the span stays inside)
+                        base = (off // LANE) * LANE
+                        cnd = cond_chunk(d, base)[:, off - base : off - base + n]
                     if w is None and n >= LANE:
-                        lo = jnp.broadcast_to(
-                            leaf_ref[:, c * LANE : (c + 1) * LANE], (Rt, LANE)
-                        )
-                        hi = jnp.broadcast_to(
-                            leaf_ref[:, n + c * LANE : n + (c + 1) * LANE],
-                            (Rt, LANE),
-                        )
+                        lo = leaf_bcast(leaf_off + c * LANE)
+                        hi = leaf_bcast(leaf_off + n + c * LANE)
                     elif w is None:
-                        # whole leaf level fits one chunk (2n <= LANE)
-                        chunk = jnp.broadcast_to(leaf_ref[:, :LANE], (Rt, LANE))
-                        lo, hi = chunk[:, :n], chunk[:, n : 2 * n]
-                        cnd = cnd[:, :n]
+                        # whole leaf span (2n <= LANE) inside one window
+                        lb = (leaf_off // LANE) * LANE
+                        ld = leaf_off - lb
+                        chunk = leaf_bcast(lb)
+                        lo, hi = chunk[:, ld : ld + n], chunk[:, ld + n : ld + 2 * n]
                     elif n >= LANE:
                         lo, hi = w[c], w[c + n_chunks]
                     else:
                         # sub-chunk levels: halves live inside chunk 0
                         lo, hi = w[0][:, :n], w[0][:, n : 2 * n]
-                        cnd = cnd[:, :n]
                     new_w.append(jnp.where(cnd, hi, lo))
-                w = new_w
+                return new_w
+
+            if Ls > 0:
+                # deep-forest path: fold each bottom subtree to its root
+                # value, then fold the top Ls levels over the roots. Tables
+                # for d > Ls are subtree-major (engine _subtree_reorder), so
+                # every subtree's span is contiguous.
+                Db = D - Ls
+                roots, pending = [], []
+                for s in range(1 << Ls):
+                    w = None
+                    for b in range(Db - 1, -1, -1):
+                        n = (1 << b) * TR
+                        w = fold_level(Ls + b, n, s * n,
+                                       s * (1 << Db) * TR, w)
+                    if TR >= LANE:
+                        roots.extend(w)
+                    else:
+                        pending.append(w[0])
+                        if len(pending) * TR == LANE:
+                            roots.append(jnp.concatenate(pending, axis=1))
+                            pending = []
+                w = roots  # 2^Ls * TR cols (>= LANE by engine constraint)
+                top = Ls
+            else:
+                w = None
+                top = D
+
+            for d in range(top - 1, -1, -1):
+                w = fold_level(d, (1 << d) * TR, 0, 0, w)
             if w is None:  # depth 0: forest of stumps
-                w = [jnp.broadcast_to(leaf_ref[:, :LANE], (Rt, LANE))]
+                w = [leaf_bcast(0)]
             wv = w[0][:, :TR] if TR < LANE else None
             if wv is None:
                 partial = jnp.sum(w[0], axis=1, keepdims=True)

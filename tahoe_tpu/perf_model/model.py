@@ -77,13 +77,18 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
         import numpy as np
 
         internal = ~forest.is_leaf
-        k_total = sum(
+        k_per_f = [
             int(np.unique(forest.values[internal & (forest.fids == f)]).size)
             for f in range(forest.num_cols)
-        )
-        # ~0.7 ps per (row, distinct-threshold) measured for the fused Pallas
-        # transform on v5e (rank_transform.py)
-        transform = rows * k_total * 0.7e-12
+        ]
+        if max(k_per_f, default=0) > 256:
+            # bucketed v2 transform (rank_transform.py): ~constant VPU work
+            # per (row, feature) regardless of table size; ~1.5 ns measured
+            # on v5e at SUSY scale
+            transform = rows * forest.num_cols * 1.5e-9
+        else:
+            # flat compare sweep: ~0.7 ps per (row, distinct threshold)
+            transform = rows * sum(k_per_f) * 0.7e-12
         return CostBreakdown(compute + transform, 0.0, dispatch)
 
     # fused fold kernel strategies

@@ -64,7 +64,9 @@ def test_output_transform():
 
 
 def test_feasibility_check():
-    forest = synthetic.generate_forest(8, 10, 12, seed=87)
+    # 70 features → no ge mode → no subtree blocking → the whole-level w
+    # buffer at this tile size must bust the VMEM budget
+    forest = synthetic.generate_forest(8, 10, 70, seed=87)
     lev = compiler.levelize(forest)
     with pytest.raises(ValueError, match="VMEM"):
         FoldKernelEngine(lev, row_tile=4096, tree_tile=1024)
@@ -85,3 +87,43 @@ def test_depth_nine():
     np.testing.assert_allclose(
         np.asarray(eng.predict(data)), oracle.predict(forest, data), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("split_level", [None, 4, 5])
+def test_deep_forest_subtree_split(split_level):
+    """Depth-10 forest through the subtree-blocked fold (deep-forest path):
+    levels below the split fold one bottom subtree at a time over
+    subtree-major tables; parity must be exact for every split choice."""
+    forest = synthetic.generate_forest(12, 10, 12, leaf_prob=0.1, seed=91)
+    data = synthetic.generate_data(33, 12, missing_prob=0.1, seed=92)
+    lev = compiler.levelize(forest)
+    eng = FoldKernelEngine(lev, row_tile=8, tree_tile=16, interpret=True,
+                           split_level=split_level)
+    if split_level is not None:
+        assert eng.split_level == split_level
+    np.testing.assert_allclose(
+        np.asarray(eng.predict(data)), oracle.predict(forest, data), atol=1e-5
+    )
+
+
+def test_split_level_validation():
+    forest = synthetic.generate_forest(8, 6, 10, seed=93)
+    lev = compiler.levelize(forest)
+    # root span 16*2^2 = 64 < 128 lanes → invalid
+    with pytest.raises(ValueError, match="split_level"):
+        FoldKernelEngine(lev, row_tile=8, tree_tile=16, interpret=True,
+                         split_level=2)
+
+
+def test_deep_forest_facade_dispatch():
+    """Depth-12 forests must stay on the fused fold path via the facade
+    (the deep-forest fallback-to-gather gap closed by subtree blocking)."""
+    from tahoe_tpu.config import Strategy
+    from tahoe_tpu.engine.forest import Forest
+
+    forest = synthetic.generate_forest(12, 12, 10, leaf_prob=0.05, seed=94)
+    f = Forest(forest)
+    assert f.feasible(Strategy.SPLIT_FOREST) is None
+    data = synthetic.generate_data(24, 10, missing_prob=0.05, seed=95)
+    got = np.asarray(f.predict(data, Strategy.SPLIT_FOREST))
+    np.testing.assert_allclose(got, f.predict_oracle(data), atol=1e-5)
