@@ -1,0 +1,85 @@
+"""Fused Pallas rank transforms vs the numpy reference (interpret mode).
+
+The v2 bucketed kernel (ops/rank_transform.py) must reproduce
+``encode_rank_planes_np(transform_rows_np(...))`` bit-exactly: ranks drive
+routing decisions, so a single off-by-one at a threshold tie breaks oracle
+parity (reference compare semantics: Struct.h:383).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tahoe_tpu.forest import quantize, synthetic
+from tahoe_tpu.ops.rank_transform import (
+    LANE,
+    build_bucket_tables,
+    pad_threshold_tables,
+    rank_planes_kernel,
+    rank_planes_kernel_v2,
+)
+
+
+def _canon(data, F):
+    x = np.asarray(data, np.float32)
+    x = np.pad(x, ((0, 0), (0, LANE - x.shape[1])))
+    miss = np.isnan(np.asarray(data, np.float32))
+    x[:, :F][miss] = np.nan
+    return x
+
+
+def _want(q, data):
+    return quantize.encode_rank_planes_np(quantize.transform_rows_np(q, data))
+
+
+def _edge_rows(data, q):
+    data = data.copy()
+    data[0, 0] = q.tables[0][0]        # exact threshold tie
+    data[1, 1] = -0.0                  # signed-zero vs +0.0 thresholds
+    data[2, 2] = np.inf
+    data[3, 3] = -np.inf
+    return data
+
+
+@pytest.mark.parametrize("cols", [17, 18])  # odd F exercises the dummy half
+def test_v2_paired_matches_numpy(cols):
+    forest = synthetic.generate_forest(40, 8, cols, seed=0)
+    q = quantize.quantize(forest)
+    data = _edge_rows(
+        synthetic.generate_data(256, cols, missing_prob=0.05, seed=1), q
+    )
+    cmax, digs, S, paired = build_bucket_tables(q.tables, cols)
+    assert paired  # small tables → two features per digit slot
+    got = rank_planes_kernel_v2(
+        jnp.asarray(_canon(data, cols)), cmax, digs, S, paired,
+        row_tile=256, interpret=True,
+    )
+    assert np.array_equal(np.asarray(got), _want(q, data))
+
+
+def test_v2_unpaired_matches_numpy():
+    # few features → >64 chunks per feature → unpaired slot layout
+    forest = synthetic.generate_forest(500, 8, 6, seed=0)
+    q = quantize.quantize(forest)
+    data = _edge_rows(
+        synthetic.generate_data(256, 6, missing_prob=0.05, seed=1), q
+    )
+    cmax, digs, S, paired = build_bucket_tables(q.tables, 6)
+    assert not paired and S > 64
+    got = rank_planes_kernel_v2(
+        jnp.asarray(_canon(data, 6)), cmax, digs, S, paired,
+        row_tile=256, interpret=True,
+    )
+    assert np.array_equal(np.asarray(got), _want(q, data))
+
+
+def test_v1_flat_sweep_matches_numpy():
+    forest = synthetic.generate_forest(10, 6, 12, seed=2)
+    q = quantize.quantize(forest)
+    data = _edge_rows(
+        synthetic.generate_data(256, 12, missing_prob=0.1, seed=3), q
+    )
+    u = jnp.asarray(pad_threshold_tables(q.tables, 12))
+    got = rank_planes_kernel(
+        jnp.asarray(_canon(data, 12)), u, row_tile=256, interpret=True
+    )
+    assert np.array_equal(np.asarray(got), _want(q, data))
