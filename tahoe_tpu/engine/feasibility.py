@@ -24,27 +24,32 @@ def default_tiles(strategy: Strategy, forest: ForestSpec,
     fit the budget.
     """
     trees = forest.num_trees
+    ge_ok = 2 * forest.num_cols <= LANE
     if strategy == Strategy.VMEM_FOREST:
         tree_tile = max(8, trees)
-    else:
-        # power-of-2 like the engine's internal rounding (fold_kernel tt)
-        tree_tile = 1 << (min(64, max(8, trees)) - 1).bit_length()
-    ge_ok = 2 * forest.num_cols <= LANE
-    row_tile = 256
-    while FoldKernelEngine.min_vmem_bytes(
-        forest.depth, row_tile, tree_tile, ge_ok
-    ) > limits.usable_vmem:
-        # Shrink the tree chunk first (SPLIT_FOREST semantics): level tables
-        # stream once per row tile, so tiny row tiles multiply HBM traffic,
-        # while tree chunks only change the accumulation grid. The reference
-        # makes the same trade by capping trees_per_sm (Struct.h:2103-2164).
-        if strategy != Strategy.VMEM_FOREST and tree_tile > 8:
-            tree_tile //= 2
-        elif row_tile > 8:
+        row_tile = 256
+        while row_tile > 8 and FoldKernelEngine.min_vmem_bytes(
+            forest.depth, row_tile, tree_tile, ge_ok, trees
+        ) > limits.usable_vmem:
             row_tile //= 2
-        else:
-            break
-    return row_tile, tree_tile
+        return row_tile, tree_tile
+    # SPLIT_FOREST: measured preference order on v5e (scripts/tile_sweep.py).
+    # Wide tiles first — select-fold efficiency needs full 128-lane widths;
+    # for deep forests the feasibility filter walks down to small row tiles
+    # with large tree chunks (a single tree tile also avoids the table
+    # double-buffer, e.g. depth-13 best was (64, 64)).
+    prefs = [
+        (128, 128), (128, 64), (256, 64), (64, 128), (64, 64), (256, 32),
+        (128, 32), (64, 32), (256, 16), (128, 16), (64, 16), (256, 8),
+        (128, 8), (64, 8), (32, 8), (16, 8), (8, 8),
+    ]
+    for row_tile, tree_tile in prefs:
+        tt = 1 << (min(tree_tile, max(8, trees)) - 1).bit_length()
+        if FoldKernelEngine.min_vmem_bytes(
+            forest.depth, row_tile, tt, ge_ok, trees
+        ) <= limits.usable_vmem:
+            return row_tile, tt
+    return 8, 8
 
 
 def check(strategy: Strategy, forest: ForestSpec,
@@ -56,7 +61,8 @@ def check(strategy: Strategy, forest: ForestSpec,
             return f"fold kernel needs <= {LANE} features, forest has {forest.num_cols}"
         row_tile, tree_tile = default_tiles(strategy, forest, limits)
         need = FoldKernelEngine.min_vmem_bytes(
-            forest.depth, row_tile, tree_tile, 2 * forest.num_cols <= LANE
+            forest.depth, row_tile, tree_tile, 2 * forest.num_cols <= LANE,
+            forest.num_trees,
         )
         if need > limits.usable_vmem:
             return (
@@ -81,11 +87,29 @@ def check(strategy: Strategy, forest: ForestSpec,
             m = internal & (forest.fids == f)
             if m.any() and np.unique(forest.values[m]).size > RANK_MAX:
                 return f"feature {f} has > {RANK_MAX} distinct thresholds"
-        row_tile, tree_tile = 128, 64
-        need = RankFoldEngine.vmem_bytes(forest.depth, row_tile, tree_tile)
-        if need > limits.usable_vmem * 1.5:
+        row_tile, tree_tile = rank_default_tiles(forest, limits)
+        if row_tile is None:
+            need = RankFoldEngine.vmem_bytes(forest.depth, 64, 8)
             return (
                 f"needs ~{need / 2**20:.1f} MiB VMEM per tile "
                 f"(budget {limits.usable_vmem / 2**20:.1f} MiB)"
             )
     return None
+
+
+def rank_default_tiles(forest: ForestSpec, limits: TpuLimits = TpuLimits()):
+    """(row_tile, tree_tile) for the rank-MXU engine, or (None, None) when
+    nothing fits. (128, 64) measured best on v5e SUSY-class shapes; deeper
+    forests / more plane groups walk down the same preference order as the
+    fold engine."""
+    from tahoe_tpu.forest.compiler import rank_groups
+    from tahoe_tpu.ops.rank_kernel import RankFoldEngine
+
+    g = rank_groups(forest.num_cols)
+    budget = limits.usable_vmem * 1.5
+    for rt, tt in [(128, 64), (128, 32), (64, 32), (256, 16), (128, 16),
+                   (64, 16), (128, 8), (64, 8)]:
+        tt2 = 1 << (min(tt, max(8, forest.num_trees)) - 1).bit_length()
+        if RankFoldEngine.vmem_bytes(forest.depth, rt, tt2, g) <= budget:
+            return rt, tt2
+    return None, None

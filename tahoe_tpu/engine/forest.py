@@ -92,12 +92,11 @@ class Forest:
             from tahoe_tpu.config import TpuLimits
             from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 
-            # (128, 64) measured best on v5e across SUSY-class shapes
-            # (scripts/tile_sweep.py)
+            drt, dtt = feasibility.rank_default_tiles(self.spec, self.limits)
             eng = RankFoldEngine(
                 self.spec,
-                row_tile=row_tile or 128,
-                tree_tile=tree_tile or 64,
+                row_tile=row_tile or drt or 128,
+                tree_tile=tree_tile or dtt or 64,
                 interpret=interpret,
                 limits=TpuLimits(vmem_fraction=1.2),
             )

@@ -338,8 +338,10 @@ def _normalize_walk(lev: LeveledForest, visit):
 
 # Lane map for the rank-plane vector (see ops/rank_kernel.py): base-127
 # two-plane encoding q16 = 127*qh + ql with positive and negated planes plus
-# two constant lanes, all within one 128-lane vreg. Supports num_cols <= 30
-# and ranks <= 16255.
+# two constant lanes, all within one 128-lane vreg — 30 features per vreg
+# GROUP. Forests with more features use G = ceil(F/30) groups (plane vector
+# [G*128] lanes, matrices [G*128, cols]; one dot with a G*128 contraction);
+# the constant lanes live in group 0 only. Ranks <= 16255.
 RANK_BASE = 127
 RANK_MAX = RANK_BASE * 127 + (RANK_BASE - 1)  # 16255
 RANK_LANE_QH = 0
@@ -348,7 +350,14 @@ RANK_LANE_NQH = 60
 RANK_LANE_NQL = 90
 RANK_LANE_C127 = 120   # lhs carries constant 127 here
 RANK_LANE_C1 = 121     # lhs carries constant 1 here
-RANK_MAX_COLS = 30
+RANK_GROUP_COLS = 30
+RANK_MAX_GROUPS = 4
+RANK_MAX_COLS = RANK_GROUP_COLS * RANK_MAX_GROUPS  # 120
+
+
+def rank_groups(num_cols: int) -> int:
+    """Plane-vector groups needed for a feature count (1 group = 128 lanes)."""
+    return max(1, -(-num_cols // RANK_GROUP_COLS))
 
 
 def rank_normalize(lev_rank: LeveledForest):
@@ -374,11 +383,12 @@ def rank_normalize(lev_rank: LeveledForest):
     F = lev_rank.num_cols
     if F > RANK_MAX_COLS:
         raise ValueError(f"rank-MXU form supports <= {RANK_MAX_COLS} features")
+    G = rank_groups(F)
     mats = []
 
     def visit(thr, fid, neg):
         T, n = thr.shape
-        m = np.zeros((128, T * n), dtype=np.int8)
+        m = np.zeros((128 * G, T * n), dtype=np.int8)
         cols = np.arange(T * n)
         rank = thr.reshape(-1)
         fidf = fid.reshape(-1)
@@ -390,19 +400,23 @@ def rank_normalize(lev_rank: LeveledForest):
         rh = (r16 // RANK_BASE).astype(np.int8)
         rl = (r16 % RANK_BASE).astype(np.int8)
 
+        # feature f lives in group f//30 at lane offset f%30
+        grp = 128 * (fidf // RANK_GROUP_COLS)
+        off = fidf % RANK_GROUP_COLS
+
         pos = ~passthrough & ~negf
         ng = ~passthrough & negf
-        m[RANK_LANE_QH + fidf[pos], cols[pos]] = RANK_BASE
-        m[RANK_LANE_QL + fidf[pos], cols[pos]] = 1
+        m[grp[pos] + RANK_LANE_QH + off[pos], cols[pos]] = RANK_BASE
+        m[grp[pos] + RANK_LANE_QL + off[pos], cols[pos]] = 1
         m[RANK_LANE_C127, cols[pos]] = -rh[pos]
         m[RANK_LANE_C1, cols[pos]] = -rl[pos]
-        m[RANK_LANE_NQH + fidf[ng], cols[ng]] = RANK_BASE
-        m[RANK_LANE_NQL + fidf[ng], cols[ng]] = 1
+        m[grp[ng] + RANK_LANE_NQH + off[ng], cols[ng]] = RANK_BASE
+        m[grp[ng] + RANK_LANE_NQL + off[ng], cols[ng]] = 1
         m[RANK_LANE_C127, cols[ng]] = rh[ng]
         m[RANK_LANE_C1, cols[ng]] = rl[ng] - 1
         m[RANK_LANE_C1, cols[passthrough]] = -1
-        # column-major per (tree, node): reshape to [128, T, n]
-        mats.append(m.reshape(128, T, n))
+        # column-major per (tree, node): reshape to [128G, T, n]
+        mats.append(m.reshape(128 * G, T, n))
 
     leaf = _normalize_walk(lev_rank, visit)
     return mats, leaf

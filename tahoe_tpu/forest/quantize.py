@@ -123,34 +123,46 @@ def transform_rows_device(q: RankQuantizedForest, data):
 
 
 def encode_rank_planes_np(ranks: np.ndarray) -> np.ndarray:
-    """f32 rank rows (NaN = missing) → int8 plane vectors [R, 128].
+    """f32 rank rows (NaN = missing) → int8 plane vectors [R, 128*G].
 
     Lane map per compiler.rank_normalize: base-127 hi/lo planes, negated
-    planes, and two constant lanes, so that one int8 matmul against the
-    per-level matrices yields ``q - rank`` (or its negated-class twin) per
-    node. Missing rows get -128 in all four planes, which drives every
-    class's diff negative (cond False → the pre-mirrored missing route).
-    """
+    planes, and two constant lanes per 30-feature GROUP (constants live in
+    group 0; other groups' constant lanes are unused by the matrices), so
+    that one int8 matmul against the per-level matrices yields ``q - rank``
+    (or its negated-class twin) per node. Missing rows get -128 in all four
+    planes, which drives every class's diff negative (cond False → the
+    pre-mirrored missing route)."""
     from tahoe_tpu.forest.compiler import (
-        RANK_BASE, RANK_LANE_C1, RANK_LANE_C127, RANK_LANE_NQH,
-        RANK_LANE_NQL, RANK_LANE_QH, RANK_LANE_QL, RANK_MAX_COLS,
+        RANK_BASE, RANK_GROUP_COLS, RANK_LANE_C1, RANK_LANE_C127,
+        RANK_LANE_NQH, RANK_LANE_NQL, RANK_LANE_QH, RANK_LANE_QL,
+        RANK_MAX_COLS, rank_groups,
     )
 
     ranks = np.asarray(ranks)
     R, F = ranks.shape
     if F > RANK_MAX_COLS:
         raise ValueError(f"rank planes support <= {RANK_MAX_COLS} features")
+    G = rank_groups(F)
     miss = np.isnan(ranks)
     q16 = np.where(miss, 0, ranks).astype(np.int64)
     qh = (q16 // RANK_BASE).astype(np.int8)
     ql = (q16 % RANK_BASE).astype(np.int8)
-    out = np.zeros((R, 128), np.int8)
-    out[:, RANK_LANE_QH : RANK_LANE_QH + F] = np.where(miss, -128, qh)
-    out[:, RANK_LANE_QL : RANK_LANE_QL + F] = np.where(miss, -128, ql)
-    out[:, RANK_LANE_NQH : RANK_LANE_NQH + F] = np.where(miss, -128, -qh)
-    out[:, RANK_LANE_NQL : RANK_LANE_NQL + F] = np.where(miss, -128, -ql)
-    out[:, RANK_LANE_C127] = 127
-    out[:, RANK_LANE_C1] = 1
+    out = np.zeros((R, 128 * G), np.int8)
+    for g in range(G):
+        f0 = g * RANK_GROUP_COLS
+        w = min(RANK_GROUP_COLS, F - f0)
+        b = 128 * g
+        sl = slice(f0, f0 + w)
+        out[:, b + RANK_LANE_QH : b + RANK_LANE_QH + w] = np.where(
+            miss[:, sl], -128, qh[:, sl])
+        out[:, b + RANK_LANE_QL : b + RANK_LANE_QL + w] = np.where(
+            miss[:, sl], -128, ql[:, sl])
+        out[:, b + RANK_LANE_NQH : b + RANK_LANE_NQH + w] = np.where(
+            miss[:, sl], -128, -qh[:, sl])
+        out[:, b + RANK_LANE_NQL : b + RANK_LANE_NQL + w] = np.where(
+            miss[:, sl], -128, -ql[:, sl])
+        out[:, b + RANK_LANE_C127] = 127
+        out[:, b + RANK_LANE_C1] = 1
     return out
 
 
@@ -159,27 +171,33 @@ def encode_rank_planes_device(ranks):
     import jax.numpy as jnp
 
     from tahoe_tpu.forest.compiler import (
-        RANK_BASE, RANK_LANE_C1, RANK_LANE_C127, RANK_LANE_NQH,
-        RANK_LANE_NQL, RANK_LANE_QH, RANK_LANE_QL,
+        RANK_BASE, RANK_GROUP_COLS, RANK_LANE_C1, RANK_LANE_C127,
+        RANK_LANE_NQH, RANK_LANE_NQL, RANK_LANE_QH, RANK_LANE_QL,
+        rank_groups,
     )
 
     R, F = ranks.shape
+    G = rank_groups(F)
     miss = jnp.isnan(ranks)
     q16 = jnp.where(miss, 0, ranks).astype(jnp.int32)
     qh = q16 // RANK_BASE
     ql = q16 % RANK_BASE
     m128 = jnp.int32(-128)
-    planes = [
-        (RANK_LANE_QH, jnp.where(miss, m128, qh)),
-        (RANK_LANE_QL, jnp.where(miss, m128, ql)),
-        (RANK_LANE_NQH, jnp.where(miss, m128, -qh)),
-        (RANK_LANE_NQL, jnp.where(miss, m128, -ql)),
-    ]
-    out = jnp.zeros((R, 128), jnp.int32)
-    for lane, vals in planes:
-        out = out.at[:, lane : lane + F].set(vals)
-    out = out.at[:, RANK_LANE_C127].set(127)
-    out = out.at[:, RANK_LANE_C1].set(1)
+    out = jnp.zeros((R, 128 * G), jnp.int32)
+    for g in range(G):
+        f0 = g * RANK_GROUP_COLS
+        w = min(RANK_GROUP_COLS, F - f0)
+        b = 128 * g
+        sl = slice(f0, f0 + w)
+        for lane, vals in (
+            (RANK_LANE_QH, jnp.where(miss, m128, qh)),
+            (RANK_LANE_QL, jnp.where(miss, m128, ql)),
+            (RANK_LANE_NQH, jnp.where(miss, m128, -qh)),
+            (RANK_LANE_NQL, jnp.where(miss, m128, -ql)),
+        ):
+            out = out.at[:, b + lane : b + lane + w].set(vals[:, sl])
+        out = out.at[:, b + RANK_LANE_C127].set(127)
+        out = out.at[:, b + RANK_LANE_C1].set(1)
     return out.astype(jnp.int8)
 
 

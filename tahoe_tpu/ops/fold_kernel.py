@@ -133,6 +133,7 @@ class FoldKernelEngine:
         self.tree_tile = 1 << (tt - 1).bit_length()
         self.interpret = interpret
 
+        n_tiles = -(-max(leveled.num_trees, self.tree_tile) // self.tree_tile)
         if split_level is None:
             # smallest split level whose peak VMEM fits (0 = plain fold)
             candidates = self.valid_split_levels(
@@ -140,7 +141,7 @@ class FoldKernelEngine:
             )
             split_level = next(
                 (ls for ls in candidates if self.vmem_bytes(
-                    leveled.depth, self.row_tile, self.tree_tile, ls
+                    leveled.depth, self.row_tile, self.tree_tile, ls, n_tiles
                 ) <= limits.usable_vmem),
                 candidates[0],
             )
@@ -155,7 +156,7 @@ class FoldKernelEngine:
         self.split_level = split_level
 
         need = self.vmem_bytes(leveled.depth, self.row_tile, self.tree_tile,
-                               split_level)
+                               split_level, n_tiles)
         if not interpret and need > limits.usable_vmem:
             raise ValueError(
                 f"tile needs ~{need/2**20:.1f} MiB VMEM > budget "
@@ -173,18 +174,23 @@ class FoldKernelEngine:
     # ------------------------------------------------------------------
     @staticmethod
     def vmem_bytes(depth: int, row_tile: int, tree_tile: int,
-                   split_level: int = 0) -> int:
+                   split_level: int = 0, tree_tiles: int = 2) -> int:
         """Rough peak VMEM estimate for feasibility checks: level tables
-        (x2 — Pallas double-buffers streamed input blocks across grid steps)
-        plus the largest live w buffer x1.25 (measured Mosaic scoped-vmem
-        reuse on v5e: 21.4M actual for a 16.8M w_top at depth 8/TR=128).
-        With subtree blocking the live w is one subtree's top level plus the
-        accumulated roots."""
+        (x2 when the tree grid revolves — Pallas double-buffers streamed
+        input blocks; a single tree tile needs no lookahead buffer) plus the
+        largest live w buffer x1.25 (measured Mosaic scoped-vmem reuse on
+        v5e: 21.4M actual for a 16.8M w_top at depth 8/TR=128). With subtree
+        blocking the live w is one subtree's top level plus the accumulated
+        roots."""
         nodes = (1 << depth) - 1
-        tables = 2 * tree_tile * (nodes * (4 + 4 + 1 + 1) + (1 << depth) * 4)
+        buf = 2 if tree_tiles > 1 else 1
+        tables = buf * tree_tile * (nodes * (4 + 4 + 1 + 1) + (1 << depth) * 4)
         if split_level > 0:
+            # empirical x2: Mosaic keeps more of the per-subtree chunk chains
+            # live than the steady-state model (depth-13 TR=32 OOMed at an
+            # 11.8M estimate; TR=16 at 8.2M compiled)
             db = depth - split_level
-            w_live = row_tile * tree_tile * 4 * (
+            w_live = 2 * row_tile * tree_tile * 4 * (
                 (1 << max(db - 1, 0)) * 5 // 4 + (1 << split_level)
             )
         else:
@@ -209,10 +215,11 @@ class FoldKernelEngine:
 
     @classmethod
     def min_vmem_bytes(cls, depth: int, row_tile: int, tree_tile: int,
-                       ge_mode: bool = True) -> int:
+                       ge_mode: bool = True, num_trees: int = 0) -> int:
         """Min peak VMEM over allowed split levels (for feasibility checks)."""
+        tiles = max(1, -(-max(num_trees, tree_tile) // tree_tile)) if num_trees else 2
         return min(
-            cls.vmem_bytes(depth, row_tile, tree_tile, ls)
+            cls.vmem_bytes(depth, row_tile, tree_tile, ls, tiles)
             for ls in cls.valid_split_levels(depth, tree_tile, ge_mode)
         )
 

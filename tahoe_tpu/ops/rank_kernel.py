@@ -52,6 +52,9 @@ class RankFoldConfig(NamedTuple):
     # column chunk for the per-level matmul + fold (multiple of 128); wider
     # chunks mean fewer, better-pipelined MXU calls
     col_chunk: int = 512
+    # plane-vector groups (compiler.rank_groups): planes are [Rt, 128*G],
+    # matrices [128*G, cols] — one dot with a G*128-lane contraction
+    groups: int = 1
 
 
 def _make_kernel(cfg: RankFoldConfig):
@@ -65,7 +68,7 @@ def _make_kernel(cfg: RankFoldConfig):
         leaf_ref = refs[D]
         out_ref = refs[D + 1]
 
-        planes = p_ref[:]  # [Rt, 128] int8
+        planes = p_ref[:]  # [Rt, 128*G] int8
 
         def cond_chunk(d, c0, width):
             rhs = mat_refs[d][:, c0 : c0 + width]  # [128, width] int8
@@ -131,12 +134,13 @@ def _make_kernel(cfg: RankFoldConfig):
 def rank_fold_margins(cfg: RankFoldConfig, tables, planes_pad):
     rows = planes_pad.shape[0]
     Rt = cfg.row_tile
+    G = cfg.groups
     grid = (rows // Rt, cfg.padded_trees // cfg.tree_tile)
 
-    in_specs = [pl.BlockSpec((Rt, LANE), lambda r, t: (r, 0),
+    in_specs = [pl.BlockSpec((Rt, LANE * G), lambda r, t: (r, 0),
                              memory_space=pltpu.VMEM)]
     for d in range(cfg.depth):
-        in_specs += [pl.BlockSpec((LANE, cfg.seg[d]), lambda r, t: (0, t),
+        in_specs += [pl.BlockSpec((LANE * G, cfg.seg[d]), lambda r, t: (0, t),
                                   memory_space=pltpu.VMEM)]
     in_specs += [pl.BlockSpec((1, cfg.leaf_seg), lambda r, t: (0, t),
                               memory_space=pltpu.VMEM)]
@@ -184,8 +188,12 @@ class RankFoldEngine:
         tt = min(tree_tile, max(lev.num_trees, 8))
         self.tree_tile = 1 << (tt - 1).bit_length()
         self.interpret = interpret
+        from tahoe_tpu.forest.compiler import rank_groups
 
-        need = self.vmem_bytes(lev.depth, row_tile, self.tree_tile)
+        self.groups = rank_groups(lev.num_cols)
+
+        need = self.vmem_bytes(lev.depth, row_tile, self.tree_tile,
+                               self.groups)
         if not interpret and need > limits.usable_vmem:
             raise ValueError(
                 f"tile needs ~{need/2**20:.1f} MiB VMEM > budget "
@@ -198,12 +206,14 @@ class RankFoldEngine:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def vmem_bytes(depth: int, row_tile: int, tree_tile: int) -> int:
+    def vmem_bytes(depth: int, row_tile: int, tree_tile: int,
+                   groups: int = 1) -> int:
         nodes = (1 << depth) - 1
-        mats = tree_tile * nodes * 128          # int8 matrices
+        mats = tree_tile * nodes * 128 * groups  # int8 matrices
         leaf = tree_tile * (1 << depth) * 4
         w_top = row_tile * (1 << max(depth - 1, 0)) * tree_tile * 4
-        return int(mats + leaf + w_top + w_top // 2 + row_tile * LANE * 8)
+        return int(mats + leaf + w_top + w_top // 2
+                   + row_tile * LANE * groups * 8)
 
     # ------------------------------------------------------------------
     def _build_tables(self, lev) -> None:
@@ -220,27 +230,28 @@ class RankFoldEngine:
             # columns except the pass-through constant → diff = -1
             if m.shape[1] == Tp:
                 return m
-            pad = np.zeros((128, Tp - m.shape[1], m.shape[2]), np.int8)
+            L = m.shape[0]  # 128 * groups
+            pad = np.zeros((L, Tp - m.shape[1], m.shape[2]), np.int8)
             from tahoe_tpu.forest.compiler import RANK_LANE_C1
 
             pad[RANK_LANE_C1] = -1
             return np.concatenate([m, pad], axis=1)
 
         def tile_node_major_mat(m):
-            # [128, Tp, n] → [128, ntiles*seg] ordered (tile, node, tree)
-            n = m.shape[2]
+            # [128G, Tp, n] → [128G, ntiles*seg] ordered (tile, node, tree)
+            L, _, n = m.shape
             t = np.ascontiguousarray(
-                m.reshape(128, Tp // TR, TR, n).transpose(1, 0, 3, 2)
-            ).reshape(Tp // TR, 128, n * TR)
+                m.reshape(L, Tp // TR, TR, n).transpose(1, 0, 3, 2)
+            ).reshape(Tp // TR, L, n * TR)
             seg = _round_up(n * TR, LANE)
             if seg != n * TR:
-                padb = np.zeros((Tp // TR, 128, seg - n * TR), np.int8)
+                padb = np.zeros((Tp // TR, L, seg - n * TR), np.int8)
                 from tahoe_tpu.forest.compiler import RANK_LANE_C1
 
                 padb[:, RANK_LANE_C1, :] = -1
                 t = np.concatenate([t, padb], axis=2)
-            # flatten tiles along the column axis: [128, ntiles*seg]
-            return np.ascontiguousarray(t.transpose(1, 0, 2)).reshape(128, -1)
+            # flatten tiles along the column axis: [128G, ntiles*seg]
+            return np.ascontiguousarray(t.transpose(1, 0, 2)).reshape(L, -1)
 
         self.seg = [_round_up((1 << d) * TR, LANE) for d in range(D)]
         self.leaf_seg = _round_up((1 << D) * TR, LANE)
@@ -276,8 +287,8 @@ class RankFoldEngine:
         u_pad = pad_threshold_tables(self.q.tables, self.num_cols)
         self._transform_v2 = u_pad.shape[1] > 256
         if self._transform_v2:
-            cmax, digs, self._bucket_s = build_bucket_tables(
-                self.q.tables, self.num_cols
+            cmax, digs, self._bucket_s, self._bucket_paired = (
+                build_bucket_tables(self.q.tables, self.num_cols)
             )
             self.rank_tables = (cmax, digs)
         else:
@@ -285,7 +296,7 @@ class RankFoldEngine:
         self.cfg = RankFoldConfig(
             depth=D, row_tile=self.row_tile, tree_tile=TR, padded_trees=Tp,
             seg=tuple(self.seg), leaf_seg=self.leaf_seg,
-            interpret=self.interpret,
+            interpret=self.interpret, groups=self.groups,
         )
 
     # ------------------------------------------------------------------
@@ -316,8 +327,8 @@ class RankFoldEngine:
         if self._transform_v2:
             cmax, digs = rank_tables
             return rank_planes_kernel_v2(
-                x, cmax, digs, self._bucket_s, row_tile=self.row_tile,
-                interpret=self.interpret,
+                x, cmax, digs, self._bucket_s, self._bucket_paired,
+                row_tile=self.row_tile, interpret=self.interpret,
             )
         return rank_planes_kernel(
             x, rank_tables[0], row_tile=self.row_tile,
@@ -329,7 +340,8 @@ class RankFoldEngine:
         pad = (-rows) % self.row_tile
         if pad:
             planes = jnp.concatenate(
-                [planes, jnp.zeros((pad, LANE), jnp.int8)], axis=0
+                [planes, jnp.zeros((pad, LANE * self.groups), jnp.int8)],
+                axis=0,
             )
         return rank_fold_margins(self.cfg, tables, planes)[:rows]
 

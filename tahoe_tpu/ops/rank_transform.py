@@ -22,17 +22,59 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tahoe_tpu.forest.compiler import (
     RANK_BASE,
+    RANK_GROUP_COLS,
     RANK_LANE_C1,
     RANK_LANE_C127,
     RANK_LANE_NQH,
     RANK_LANE_NQL,
     RANK_LANE_QH,
     RANK_LANE_QL,
+    RANK_MAX_COLS,
+    rank_groups,
 )
 from tahoe_tpu.ops.fold_kernel import LANE, _round_up
 
 
+def _assemble_planes(q, nan_mask, F: int, row_tile: int):
+    """int32 ranks [Rt, F] + missing mask [Rt, F] → plane vector
+    [Rt, 128*G]. Lane map must match compiler.rank_normalize: per group,
+    30-lane slots [0,30) qh | [30,60) ql | [60,90) -qh | [90,120) -ql |
+    120:127 121:1 (constant lanes present in every group; the matrices use
+    group 0's)."""
+    G = rank_groups(F)
+    qh = q // RANK_BASE
+    ql = q - qh * RANK_BASE
+    m128 = jnp.int32(-128)
+
+    def seg(vals):
+        return jnp.where(nan_mask != 0, m128, vals)
+
+    planes = (seg(qh), seg(ql), seg(-qh), seg(-ql))
+    tail = jnp.concatenate(
+        [
+            jnp.full((row_tile, 1), 127, jnp.int32),
+            jnp.full((row_tile, 1), 1, jnp.int32),
+            jnp.zeros((row_tile, 6), jnp.int32),
+        ],
+        axis=1,
+    )
+    blocks = []
+    for g in range(G):
+        f0 = g * RANK_GROUP_COLS
+        w = min(RANK_GROUP_COLS, F - f0)
+        zfill = (jnp.zeros((row_tile, RANK_GROUP_COLS - w), jnp.int32)
+                 if w < RANK_GROUP_COLS else None)
+        for p in planes:
+            blocks.append(p[:, f0 : f0 + w])
+            if zfill is not None:
+                blocks.append(zfill)
+        blocks.append(tail)
+    return jnp.concatenate(blocks, axis=1)
+
+
 def _make_kernel(F: int, k_pad: int, row_tile: int):
+    G = rank_groups(F)
+
     def kernel(x_ref, u_ref, out_ref):
         x = x_ref[:]  # [Rt, 128] f32, missing already canonicalized to NaN
 
@@ -47,31 +89,7 @@ def _make_kernel(F: int, k_pad: int, row_tile: int):
 
         xf = x[:, :F]
         nan_mask = (xf != xf).astype(jnp.int32)  # 1 where missing
-
-        qh = q // RANK_BASE
-        ql = q - qh * RANK_BASE
-        m128 = jnp.int32(-128)
-
-        def seg(vals):
-            return jnp.where(nan_mask != 0, m128, vals)
-
-        # lane map must match compiler.rank_normalize: 30-lane plane slots
-        # [0,30) qh | [30,60) ql | [60,90) -qh | [90,120) -ql | 120:127 121:1
-        parts = []
-        z30 = jnp.zeros((row_tile, 30 - F), jnp.int32) if F < 30 else None
-        for plane in (seg(qh), seg(ql), seg(-qh), seg(-ql)):
-            parts.append(plane)
-            if z30 is not None:
-                parts.append(z30)
-        tail = jnp.concatenate(
-            [
-                jnp.full((row_tile, 1), 127, jnp.int32),
-                jnp.full((row_tile, 1), 1, jnp.int32),
-                jnp.zeros((row_tile, 6), jnp.int32),
-            ],
-            axis=1,
-        )
-        out_ref[:] = jnp.concatenate(parts + [tail], axis=1)
+        out_ref[:] = _assemble_planes(q, nan_mask, F, row_tile)
 
     return kernel
 
@@ -80,12 +98,13 @@ def rank_planes_kernel(x_canon, u_pad, *, row_tile: int = 256,
                        interpret: bool = False):
     """x_canon [R_pad, 128] f32 (NaN missing, 128-padded rows) +
     u_pad [F, K_pad] f32 (NaN-padded sorted thresholds) → int8 planes
-    [R_pad, 128]."""
+    [R_pad, 128*G]."""
     rows = x_canon.shape[0]
     F, k_pad = u_pad.shape
+    G = rank_groups(F)
     assert rows % row_tile == 0
-    if F > 30:
-        raise ValueError("rank planes support <= 30 features")
+    if F > RANK_MAX_COLS:
+        raise ValueError(f"rank planes support <= {RANK_MAX_COLS} features")
 
     out32 = pl.pallas_call(
         _make_kernel(F, k_pad, row_tile),
@@ -96,9 +115,9 @@ def rank_planes_kernel(x_canon, u_pad, *, row_tile: int = 256,
             pl.BlockSpec((F, k_pad), lambda r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((row_tile, LANE), lambda r: (r, 0),
+        out_specs=pl.BlockSpec((row_tile, LANE * G), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((rows, LANE * G), jnp.int32),
         interpret=interpret,
     )(x_canon, u_pad)
     return out32.astype(jnp.int8)
@@ -150,35 +169,49 @@ def _signed_digits(keys: np.ndarray) -> np.ndarray:
 
 
 def build_bucket_tables(tables, num_cols: int):
-    """Per-feature sorted thresholds → (cmax [F,128] int32,
-    digits [F,4,128,Sp] bf16, S) for the v2 kernel. Each feature's table is
-    padded to 128*S with INT32_MAX keys (never <= any finite x); S is chosen
-    so every feature has at least one pad element, guaranteeing b < 128."""
+    """Per-feature sorted thresholds → (cmax [F,128] int32, digit planes
+    bf16, S, paired) for the v2 kernel. Each feature's table is padded to
+    128*S with INT32_MAX keys (never <= any finite x); S is chosen so every
+    feature has at least one pad element, guaranteeing b < 128.
+
+    When S <= 64 two features share each 128-lane digit slot (``paired``):
+    planes are [ceil(F/2), 256, 4*128] block matrices (rows 0-127 = even
+    feature → lanes [0,64), rows 128-255 = odd feature → lanes [64,128)), so
+    one matmul + one combine + one compare serve two features."""
     S = max((len(t) // 128 + 1 for t in tables), default=1)
-    Sp = _round_up(S, LANE)
     F = num_cols
-    keys = np.full((F, 128, Sp), np.int32(np.iinfo(np.int32).max), np.int32)
+    paired = S <= LANE // 2
+    Sh = LANE // 2 if paired else _round_up(S, LANE)
+    keys = np.full((F, 128, Sh), np.int32(np.iinfo(np.int32).max), np.int32)
     for f, t in enumerate(tables):
         k = _float_keys(np.sort(np.asarray(t, np.float32)))
         full = np.full(128 * S, np.iinfo(np.int32).max, np.int32)
         full[: len(k)] = k
         keys[f, :, :S] = full.reshape(128, S)
     cmax = keys[:, :, S - 1].copy()  # [F, 128] last element of each chunk
-    digs = _signed_digits(keys)  # [4, F, 128, Sp] int8
+    digs = _signed_digits(keys)  # [4, F, 128, Sh] int8
     # bf16 exactly represents ints in [-128, 127]; one-hot products are exact.
-    # Digit planes concatenated along lanes ([F, 128, 4*Sp]) so the kernel
-    # fetches all four digits with ONE matmul; Sp is a 128-multiple so the
-    # per-digit slices stay vreg-aligned.
-    digs_bf = jnp.asarray(
-        np.ascontiguousarray(digs.transpose(1, 2, 0, 3)).reshape(
-            num_cols, 128, 4 * Sp
-        ),
-        jnp.bfloat16,
-    )
-    return jnp.asarray(cmax), digs_bf, S
+    # Digit planes concatenated along lanes so the kernel fetches all four
+    # digits with ONE matmul; slot boundaries stay vreg-aligned.
+    if paired:
+        P = (F + 1) // 2
+        planes = np.zeros((P, 2 * LANE, 4 * LANE), np.float32)
+        for f in range(F):
+            p, half = f // 2, f % 2
+            r0 = half * LANE
+            for k in range(4):
+                planes[p, r0 : r0 + LANE,
+                       k * LANE + half * Sh : k * LANE + half * Sh + Sh] = (
+                    digs[k, f]
+                )
+    else:
+        planes = np.ascontiguousarray(digs.transpose(1, 2, 0, 3)).reshape(
+            F, 128, 4 * Sh
+        )
+    return jnp.asarray(cmax), jnp.asarray(planes, jnp.bfloat16), S, paired
 
 
-def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int):
+def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool):
     INT_MAX_POS = 0x7FFFFFFF
 
     def kernel(x_ref, cmax_ref, digs_ref, qw_ref, out_ref):
@@ -191,98 +224,124 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int):
 
         one_col = jnp.ones((row_tile, 1), jnp.bfloat16)
 
-        ranks = []
-        for f in range(F):
-            xk = xkey[:, f : f + 1]  # [Rt, 1]
-            full = (xk >= cmax_ref[f : f + 1, :]).astype(jnp.bfloat16)
+        def shift_one_hot(full):
             # one_hot(b) = shift-in-1(full) - full (exactly one 1 at the
             # first non-full chunk; b < 128 is guaranteed by padding)
-            oh = jnp.concatenate([one_col, full[:, : LANE - 1]], axis=1) - full
-            m = jax.lax.dot_general(
-                oh, digs_ref[f],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [Rt, 4*Sp] exact digit values
-            # pairwise f32 combine (|d0 + 256*d1| < 2^17, exact in f32),
-            # then one int32 shift-add
-            p01 = m[:, :Sp] + m[:, Sp : 2 * Sp] * jnp.float32(256.0)
-            p23 = m[:, 2 * Sp : 3 * Sp] + m[:, 3 * Sp :] * jnp.float32(256.0)
-            elem = p01.astype(jnp.int32) + (p23.astype(jnp.int32) << 16)
-            pc = (xk >= elem).astype(jnp.bfloat16)  # [Rt, Sp]
-            # q = S*sum(full) + sum(pc) via one matmul (col 0 of qw holds
-            # S for the chunk lanes and 1 for the element lanes)
-            qv = jax.lax.dot_general(
-                jnp.concatenate([full, pc], axis=1), qw_ref[:],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [Rt, LANE]; col 0 = sum(full) = b, col 1 = sum(pc)
-            ranks.append(qv[:, :1] * jnp.float32(S) + qv[:, 1:2])
+            return jnp.concatenate(
+                [one_col, full[:, : LANE - 1]], axis=1
+            ) - full
+
+        def combine(m, w):
+            # digit slots → int32 keys: pairwise f32 combine is exact
+            # (|d0 + 256*d1| < 2^17 < 2^24), then one int32 shift-add
+            p01 = m[:, :w] + m[:, w : 2 * w] * jnp.float32(256.0)
+            p23 = m[:, 2 * w : 3 * w] + m[:, 3 * w :] * jnp.float32(256.0)
+            return p01.astype(jnp.int32) + (p23.astype(jnp.int32) << 16)
+
+        ranks = []
+        if paired:
+            for p in range(0, F, 2):
+                f0, f1 = p, min(p + 1, F - 1)
+                xk0 = xkey[:, f0 : f0 + 1]
+                xk1 = xkey[:, f1 : f1 + 1]
+                full0 = (xk0 >= cmax_ref[f0 : f0 + 1, :]).astype(jnp.bfloat16)
+                full1 = (xk1 >= cmax_ref[f1 : f1 + 1, :]).astype(jnp.bfloat16)
+                oh2 = jnp.concatenate(
+                    [shift_one_hot(full0), shift_one_hot(full1)], axis=1
+                )  # [Rt, 256]
+                m = jax.lax.dot_general(
+                    oh2, digs_ref[p // 2],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [Rt, 4*128]: both features' digit slots
+                elem = combine(m, LANE)  # [Rt, 128]
+                xk2 = jnp.concatenate(
+                    [jnp.broadcast_to(xk0, (row_tile, LANE // 2)),
+                     jnp.broadcast_to(xk1, (row_tile, LANE // 2))], axis=1
+                )
+                pc = (xk2 >= elem).astype(jnp.bfloat16)  # [Rt, 128]
+                qv = jax.lax.dot_general(
+                    jnp.concatenate([full0, full1, pc], axis=1), qw_ref[:],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # cols: b0, b1, part0, part1
+                ranks.append(qv[:, 0:1] * jnp.float32(S) + qv[:, 2:3])
+                if f1 > f0:
+                    ranks.append(qv[:, 1:2] * jnp.float32(S) + qv[:, 3:4])
+        else:
+            for f in range(F):
+                xk = xkey[:, f : f + 1]  # [Rt, 1]
+                full = (xk >= cmax_ref[f : f + 1, :]).astype(jnp.bfloat16)
+                oh = shift_one_hot(full)
+                m = jax.lax.dot_general(
+                    oh, digs_ref[f],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [Rt, 4*Sp] exact digit values
+                elem = combine(m, Sp)
+                pc = (xk >= elem).astype(jnp.bfloat16)  # [Rt, Sp]
+                # q = S*sum(full) + sum(pc) via one matmul
+                qv = jax.lax.dot_general(
+                    jnp.concatenate([full, pc], axis=1), qw_ref[:],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [Rt, LANE]; col 0 = sum(full) = b, col 1 = sum(pc)
+                ranks.append(qv[:, :1] * jnp.float32(S) + qv[:, 1:2])
         q = jnp.concatenate(ranks, axis=1).astype(jnp.int32)  # [Rt, F]
-
-        qh = q // RANK_BASE
-        ql = q - qh * RANK_BASE
-        m128 = jnp.int32(-128)
-
-        def seg(vals):
-            return jnp.where(nan_mask != 0, m128, vals)
-
-        parts = []
-        z30 = jnp.zeros((row_tile, 30 - F), jnp.int32) if F < 30 else None
-        for plane in (seg(qh), seg(ql), seg(-qh), seg(-ql)):
-            parts.append(plane)
-            if z30 is not None:
-                parts.append(z30)
-        tail = jnp.concatenate(
-            [
-                jnp.full((row_tile, 1), 127, jnp.int32),
-                jnp.full((row_tile, 1), 1, jnp.int32),
-                jnp.zeros((row_tile, 6), jnp.int32),
-            ],
-            axis=1,
-        )
-        out_ref[:] = jnp.concatenate(parts + [tail], axis=1)
+        out_ref[:] = _assemble_planes(q, nan_mask, F, row_tile)
 
     return kernel
 
 
-def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, *, row_tile: int = 256,
-                          interpret: bool = False):
+def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, paired: bool, *,
+                          row_tile: int = 256, interpret: bool = False):
     """Bucketed rank transform: x_canon [R_pad, 128] f32 (NaN missing) +
-    bucket tables (build_bucket_tables) → int8 planes [R_pad, 128]."""
+    bucket tables (build_bucket_tables) → int8 planes [R_pad, 128*G]."""
     rows = x_canon.shape[0]
     F = cmax.shape[0]
-    Sp = digs.shape[-1] // 4
+    G = rank_groups(F)
+    P, rows_dig, cols_dig = digs.shape
+    Sp = cols_dig // 4
     assert rows % row_tile == 0
-    if F > 30:
-        raise ValueError("rank planes support <= 30 features")
+    if F > RANK_MAX_COLS:
+        raise ValueError(f"rank planes support <= {RANK_MAX_COLS} features")
 
+    qw_rows = 3 * LANE if paired else LANE + Sp
     out32 = pl.pallas_call(
-        _make_kernel_v2(F, S, Sp, row_tile),
+        _make_kernel_v2(F, S, Sp, row_tile, paired),
         grid=(rows // row_tile,),
         in_specs=[
             pl.BlockSpec((row_tile, LANE), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((F, LANE), lambda r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, LANE, 4 * Sp), lambda r: (0, 0, 0),
+            pl.BlockSpec((P, rows_dig, cols_dig), lambda r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANE + Sp, LANE), lambda r: (0, 0),
+            pl.BlockSpec((qw_rows, LANE), lambda r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((row_tile, LANE), lambda r: (r, 0),
+        out_specs=pl.BlockSpec((row_tile, LANE * G), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((rows, LANE * G), jnp.int32),
         interpret=interpret,
-    )(x_canon, cmax, digs, _qw_weights(Sp))
+    )(x_canon, cmax, digs, _qw_weights(Sp, paired))
     return out32.astype(jnp.int8)
 
 
-def _qw_weights(Sp: int):
-    """[(128+Sp), 128] bf16 reduction weights: col 0 sums the 128 chunk
-    lanes (b), col 1 sums the Sp element lanes (partial count)."""
-    qw = np.zeros((LANE + Sp, LANE), np.float32)
-    qw[:LANE, 0] = 1.0
-    qw[LANE:, 1] = 1.0
+def _qw_weights(Sp: int, paired: bool):
+    """bf16 reduction weights. Plain: [(128+Sp), 128], col 0 sums the 128
+    chunk lanes (b), col 1 the Sp element lanes. Paired: [384, 128] with
+    cols (b0, b1, part0, part1) for the (full0 | full1 | pc) concat."""
+    if paired:
+        qw = np.zeros((3 * LANE, LANE), np.float32)
+        qw[:LANE, 0] = 1.0
+        qw[LANE : 2 * LANE, 1] = 1.0
+        qw[2 * LANE : 2 * LANE + LANE // 2, 2] = 1.0
+        qw[2 * LANE + LANE // 2 :, 3] = 1.0
+    else:
+        qw = np.zeros((LANE + Sp, LANE), np.float32)
+        qw[:LANE, 0] = 1.0
+        qw[LANE:, 1] = 1.0
     return jnp.asarray(qw, jnp.bfloat16)
 
 

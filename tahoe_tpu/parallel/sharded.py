@@ -47,6 +47,7 @@ class ShardedForestEngine:
 
     def __init__(self, leveled: LeveledForest, mesh: Mesh, *,
                  row_tile: int = 128, tree_tile: int = 64,
+                 split_level: Optional[int] = None,
                  interpret: Optional[bool] = None):
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
@@ -71,6 +72,7 @@ class ShardedForestEngine:
         self._base = FoldKernelEngine(
             leveled, row_tile=row_tile,
             tree_tile=min(tree_tile, shard_trees), interpret=interpret,
+            split_level=split_level,
         )
         base_cfg = self._base.cfg
         tiles_total = base_cfg.padded_trees // base_cfg.tree_tile
@@ -91,6 +93,7 @@ class ShardedForestEngine:
             leaf_seg=base_cfg.leaf_seg,
             interpret=base_cfg.interpret,
             ge=base_cfg.ge,
+            split_level=base_cfg.split_level,
         )
 
         # Reshape each flat table [1, ntiles*seg] → [n_model, shard_cols] so

@@ -67,6 +67,14 @@ def _slope_time(run_k, k1=2, k2=10, n=3) -> float:
         return float(np.median(ts))
 
     t1, t2 = timed(k1), timed(k2)
+    # noise guard: the fence RTT is ~25 ms — a slope from a delta below
+    # ~20 ms is jitter, not signal (it silently produced near-zero
+    # xla_node_ns and flipped the model's argmin). Stretch the chain.
+    tries = 0
+    while (t2 - t1) < 0.02 and tries < 5:
+        k2 = k1 + (k2 - k1) * max(2, int(0.04 / max(t2 - t1, 1e-3)))
+        t2 = timed(k2)
+        tries += 1
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 

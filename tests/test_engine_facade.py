@@ -83,3 +83,18 @@ def test_enumeration_subprocess(forest, data):
     )
     r = results[Strategy.HBM_DIRECT]
     assert r.ran and r.correct, (r.error, r.skipped_reason)
+
+
+def test_enumeration_tile_tuning(forest, data):
+    """--tune-tiles path: candidate tile shapes are measured and the result
+    records which (row_tile, tree_tile) won."""
+    results = autotune.enumerate_strategies(
+        forest.spec, data,
+        strategies=(Strategy.SPLIT_FOREST,),
+        subprocess_isolation=False, warmup=1, epochs=2, verbose=False,
+        tune_tiles=True,
+    )
+    r = results[Strategy.SPLIT_FOREST]
+    assert r.ran and r.correct, (r.error, r.skipped_reason)
+    cands = autotune.tile_candidates(Strategy.SPLIT_FOREST, forest.spec)
+    assert r.tiles in cands

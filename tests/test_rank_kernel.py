@@ -76,6 +76,17 @@ def test_plane_encoding_round_trip():
 
 
 def test_too_many_features_rejected():
-    forest = synthetic.generate_forest(4, 2, 40, seed=159)
+    # 40 features now fit in 2 plane groups; the cap is RANK_MAX_COLS (120)
+    forest = synthetic.generate_forest(4, 2, 130, seed=159)
     with pytest.raises(NotImplementedError):
         RankFoldEngine(forest, interpret=True)
+
+
+def test_multi_group_features():
+    """>30 features use G plane groups (G*128-lane matmul contraction)."""
+    forest = synthetic.generate_forest(24, 6, 54, leaf_prob=0.1, seed=160)
+    data = synthetic.generate_data(64, 54, missing_prob=0.1, seed=161)
+    eng = RankFoldEngine(forest, row_tile=32, tree_tile=16, interpret=True)
+    assert eng.groups == 2
+    got = np.asarray(eng.predict(data))
+    np.testing.assert_allclose(got, oracle.predict(forest, data), atol=1e-5)

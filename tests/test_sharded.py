@@ -55,3 +55,19 @@ def test_uneven_shard_rejected(setup):
     mesh = make_mesh(data=1, model=5)
     with pytest.raises(ValueError, match="divisible|divide"):
         ShardedForestEngine(lev, mesh, row_tile=8, tree_tile=16)
+
+
+def test_tree_sharded_deep_split(setup):
+    """Deep forest (subtree-blocked fold) sharded over the model axis: the
+    per-shard FoldConfig must carry split_level — a plain fold over
+    subtree-major tables would silently produce wrong margins."""
+    forest = synthetic.generate_forest(16, 9, 10, leaf_prob=0.1, seed=103)
+    data = synthetic.generate_data(32, 10, missing_prob=0.1, seed=104)
+    lev = compiler.levelize(forest)
+    want = oracle.predict(forest, data)
+    mesh = make_mesh(data=1, model=2)
+    eng = ShardedForestEngine(lev, mesh, row_tile=8, tree_tile=8,
+                              split_level=4)
+    assert eng.cfg.split_level == 4
+    got = np.asarray(eng.predict(data))
+    np.testing.assert_allclose(got, want, atol=1e-5)
