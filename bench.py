@@ -132,6 +132,7 @@ def main() -> int:
         "fold_kernel_us": round(us_fold, 6),
         "rank_mxu_full_us": round(us_rank_full, 6),
         "rank_mxu_planes_us": round(us_rank_planes, 6),
+        "vs_baseline_serving": round(REFERENCE_BEST_US / us_rank_planes, 3),
         "max_err_vs_oracle": max(err, err_rank),
         "rows": args.rows,
         "epochs": args.epochs,

@@ -31,10 +31,8 @@ from tahoe_tpu.config import TpuLimits
 from tahoe_tpu.forest.compiler import RANK_MAX_COLS, levelize, rank_normalize
 from tahoe_tpu.forest.quantize import (
     RankQuantizedForest,
-    encode_rank_planes_device,
     quantize,
     quantized_spec_for_engines,
-    transform_rows_device,
 )
 from tahoe_tpu.forest.spec import ForestSpec
 from tahoe_tpu.ops.fold_kernel import LANE, _cdiv, _round_up

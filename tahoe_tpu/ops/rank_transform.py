@@ -23,12 +23,6 @@ from jax.experimental.pallas import tpu as pltpu
 from tahoe_tpu.forest.compiler import (
     RANK_BASE,
     RANK_GROUP_COLS,
-    RANK_LANE_C1,
-    RANK_LANE_C127,
-    RANK_LANE_NQH,
-    RANK_LANE_NQL,
-    RANK_LANE_QH,
-    RANK_LANE_QL,
     RANK_MAX_COLS,
     rank_groups,
 )

@@ -30,7 +30,6 @@ from tahoe_tpu.ops.fold_kernel import (
     LANE,
     FoldConfig,
     FoldKernelEngine,
-    canonicalize_rows,
     fold_margins,
     _round_up,
 )
