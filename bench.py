@@ -83,7 +83,7 @@ def main() -> int:
 
     # --- primary: fused f32 fold kernel (SPLIT_FOREST), exact, no transform --
     fold = FoldKernelEngine(
-        compiler.levelize(forest), row_tile=256, tree_tile=64,
+        compiler.levelize(forest), row_tile=128, tree_tile=128,
         interpret=interpret,
     )
     t_fold = slope(lambda k: fold.predict_k(data_d, k), k1, k2)

@@ -26,7 +26,9 @@ def default_tiles(strategy: Strategy, forest: ForestSpec,
     trees = forest.num_trees
     ge_ok = 2 * forest.num_cols <= LANE
     if strategy == Strategy.VMEM_FOREST:
-        tree_tile = max(8, trees)
+        # pow2 like the engine's internal rounding — sizing with the raw
+        # tree count let infeasible configs through (engine rounds up)
+        tree_tile = 1 << (max(8, trees) - 1).bit_length()
         row_tile = 256
         while row_tile > 8 and FoldKernelEngine.min_vmem_bytes(
             forest.depth, row_tile, tree_tile, ge_ok, trees
@@ -79,6 +81,11 @@ def check(strategy: Strategy, forest: ForestSpec,
 
         if forest.num_cols > RANK_MAX_COLS:
             return f"rank-MXU form supports <= {RANK_MAX_COLS} features"
+        if forest.depth > 10:
+            # the rank kernel has no subtree-blocked deep mode yet; its
+            # whole-level w frontier busts VMEM at depth 11+ (deep forests
+            # route to the subtree-blocked fold instead)
+            return f"rank-MXU form supports depth <= 10, forest has {forest.depth}"
         # distinct thresholds per feature must fit the two-plane encoding
         internal = ~forest.is_leaf
         import numpy as np

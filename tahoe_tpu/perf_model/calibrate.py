@@ -118,7 +118,10 @@ def measure(force: bool = False) -> Calibration:
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
     t = _slope_time(lambda k: hbm_k(big, k=k), k1=4, k2=16)
-    hbm_gbps = min(4 * big.size / t / 1e9, 1200.0)
+    # per iteration: read b, write the scaled copy, read it back for the sum
+    # (XLA does not fuse the multiply into the reduce here — measured ~3
+    # passes on v5e)
+    hbm_gbps = min(3 * big.nbytes / t / 1e9, 1200.0)
 
     # --- fused fold kernel ---------------------------------------------------
     from tahoe_tpu.ops.fold_kernel import FoldKernelEngine

@@ -71,9 +71,16 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
         return CostBreakdown(compute, 0.0, dispatch)
 
     if strategy == Strategy.RANK_MXU:
-        # MXU matmul selection + 2 VPU ops/node; plus the per-batch rank
-        # transform proportional to total distinct thresholds
-        compute = rows * nodes_per_row * cal.fold_node_ns / 1e9 * 0.55
+        from tahoe_tpu.forest.compiler import rank_groups
+
+        G = rank_groups(forest.num_cols)
+        # 2 VPU ops/node (cmp + select), ~0.55x the fold kernel's 3-op cost,
+        # plus the int8 matmul itself: 128*G MACs/node at ~300 effective
+        # int8 TOPS (doesn't fully overlap the VPU on v5e — measured on
+        # covtype-class G=2 shapes)
+        compute = rows * nodes_per_row * (
+            cal.fold_node_ns / 1e9 * 0.55 + 128.0 * G / 300e12
+        )
         import numpy as np
 
         internal = ~forest.is_leaf
@@ -87,8 +94,10 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
             # on v5e at SUSY scale
             transform = rows * forest.num_cols * 1.5e-9
         else:
-            # flat compare sweep: ~0.7 ps per (row, distinct threshold)
-            transform = rows * sum(k_per_f) * 0.7e-12
+            # flat compare sweep: fixed ~1.2 ns/(row, feature) of loop +
+            # plane assembly, plus ~0.7 ps per (row, distinct threshold)
+            transform = rows * (forest.num_cols * 1.2e-9
+                                + sum(k_per_f) * 0.7e-12)
         return CostBreakdown(compute + transform, 0.0, dispatch)
 
     # fused fold kernel strategies
