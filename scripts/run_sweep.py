@@ -40,9 +40,18 @@ SHAPES = [
     ("letter_like",  160, 7, 16,  4000,  0.00),
     ("covtype_like", 250, 9, 54,  6000,  0.00),
     ("year_like",    120, 7, 90,  4000,  0.01),
-    # deep-forest families (exercise the subtree-blocked fold path)
+    # deep-forest families (exercise the subtree-blocked fold + rank paths)
     ("deep12_like",  100, 12, 28, 4000,  0.01),
     ("deep14_like",  60,  14, 20, 2000,  0.00),
+    ("deep13_like",  80,  13, 24, 3000,  0.00),
+    # near the 120-feature rank cap (4 plane groups)
+    ("cifar_like",   150, 7,  120, 3000, 0.00),
+    # wide-feature family: >128 cols routes to the tensorized engines
+    ("mnist_like",   100, 6,  400, 2000, 0.00),
+    # shallow many-tree family (stump-heavy GBDT shape)
+    ("stumps_like",  800, 3,  10, 20000, 0.05),
+    # extreme depth: banded rank (multi-band virtual features) + deep fold
+    ("deep15_like",  30,  15, 16, 1000,  0.00),
 ]
 
 

@@ -22,6 +22,8 @@ def main() -> int:
     p.add_argument("--rows", type=int, nargs="+", default=[16384])
     p.add_argument("--row-tiles", type=int, nargs="+", default=[128, 256, 512])
     p.add_argument("--tree-tiles", type=int, nargs="+", default=[32, 64])
+    p.add_argument("--split-levels", type=int, nargs="+", default=[None],
+                   help="subtree split levels to sweep (default: engine auto)")
     p.add_argument("--trees", type=int, default=500)
     p.add_argument("--depth", type=int, default=8)
     p.add_argument("--cols", type=int, default=18)
@@ -34,6 +36,7 @@ def main() -> int:
     for rows in args.rows:
         for rt in args.row_tiles:
             for tt in args.tree_tiles:
+              for ls in args.split_levels:
                 cmd = [
                     sys.executable, "-m", "tahoe_tpu.engine.tile_worker",
                     "--engine", args.engine, "--rows", str(rows),
@@ -41,6 +44,8 @@ def main() -> int:
                     "--trees", str(args.trees), "--depth", str(args.depth),
                     "--cols", str(args.cols), "--epochs", str(args.epochs),
                 ]
+                if ls is not None:
+                    cmd += ["--split-level", str(ls)]
                 try:
                     out = subprocess.run(
                         cmd, capture_output=True, text=True,

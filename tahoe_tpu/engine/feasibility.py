@@ -76,27 +76,23 @@ def check(strategy: Strategy, forest: ForestSpec,
         if forest.depth > 14:
             return f"leveled form of depth {forest.depth} is too large"
     if strategy == Strategy.RANK_MXU:
-        from tahoe_tpu.forest.compiler import RANK_MAX, RANK_MAX_COLS
+        from tahoe_tpu.forest.compiler import RANK_MAX_COLS
         from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 
         if forest.num_cols > RANK_MAX_COLS:
             return f"rank-MXU form supports <= {RANK_MAX_COLS} features"
-        if forest.depth > 10:
-            # the rank kernel has no subtree-blocked deep mode yet; its
-            # whole-level w frontier busts VMEM at depth 11+ (deep forests
-            # route to the subtree-blocked fold instead)
-            return f"rank-MXU form supports depth <= 10, forest has {forest.depth}"
-        # distinct thresholds per feature must fit the two-plane encoding
-        internal = ~forest.is_leaf
-        import numpy as np
-
-        for f in range(forest.num_cols):
-            m = internal & (forest.fids == f)
-            if m.any() and np.unique(forest.values[m]).size > RANK_MAX:
-                return f"feature {f} has > {RANK_MAX} distinct thresholds"
+        # features with too many distinct thresholds split into banded
+        # virtual features (quantize.band_split); total bands must fit the
+        # plane-group budget
+        vcols = rank_virtual_cols(forest)
+        if vcols > RANK_MAX_COLS:
+            return (
+                f"forest needs {vcols} banded virtual features "
+                f"> {RANK_MAX_COLS}"
+            )
         row_tile, tree_tile = rank_default_tiles(forest, limits)
         if row_tile is None:
-            need = RankFoldEngine.vmem_bytes(forest.depth, 64, 8)
+            need = RankFoldEngine.min_vmem_bytes(forest.depth, 64, 8)
             return (
                 f"needs ~{need / 2**20:.1f} MiB VMEM per tile "
                 f"(budget {limits.usable_vmem / 2**20:.1f} MiB)"
@@ -104,19 +100,41 @@ def check(strategy: Strategy, forest: ForestSpec,
     return None
 
 
+def rank_virtual_cols(forest: ForestSpec) -> int:
+    """Virtual feature count after rank band splitting (= num_cols when every
+    feature has <= RANK_MAX distinct thresholds)."""
+    import numpy as np
+
+    from tahoe_tpu.forest.compiler import RANK_MAX
+
+    internal = ~forest.is_leaf
+    total = 0
+    for f in range(forest.num_cols):
+        m = internal & (forest.fids == f)
+        k = int(np.unique(forest.values[m]).size) if m.any() else 0
+        total += max(1, -(-k // RANK_MAX))
+    return total
+
+
 def rank_default_tiles(forest: ForestSpec, limits: TpuLimits = TpuLimits()):
     """(row_tile, tree_tile) for the rank-MXU engine, or (None, None) when
-    nothing fits. (128, 64) measured best on v5e SUSY-class shapes; deeper
-    forests / more plane groups walk down the same preference order as the
-    fold engine."""
+    nothing fits. (128, 64) measured best on v5e SUSY-class shapes. Deep
+    forests fall through to subtree-split mode where SMALL tree tiles win
+    (bottom-subtree work runs on virtual tiles of 128 regardless of
+    tree_tile, so tree_tile only sets padded-tree waste; deep-12 measured
+    best (128, 8, split 5) on v5e). The engine picks its own split level."""
     from tahoe_tpu.forest.compiler import rank_groups
     from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 
-    g = rank_groups(forest.num_cols)
+    g = rank_groups(rank_virtual_cols(forest))
     budget = limits.usable_vmem * 1.5
     for rt, tt in [(128, 64), (128, 32), (64, 32), (256, 16), (128, 16),
                    (64, 16), (128, 8), (64, 8)]:
         tt2 = 1 << (min(tt, max(8, forest.num_trees)) - 1).bit_length()
-        if RankFoldEngine.vmem_bytes(forest.depth, rt, tt2, g) <= budget:
+        if RankFoldEngine.vmem_bytes(forest.depth, rt, tt2, g, 0) <= budget:
+            return rt, tt2
+    for rt, tt in [(128, 8), (64, 8), (128, 16), (64, 16), (32, 8), (16, 8)]:
+        tt2 = 1 << (min(tt, max(8, forest.num_trees)) - 1).bit_length()
+        if RankFoldEngine.min_vmem_bytes(forest.depth, rt, tt2, g) <= budget:
             return rt, tt2
     return None, None

@@ -25,6 +25,8 @@ def main(argv=None) -> int:
     p.add_argument("--row-tile", type=int, default=256)
     p.add_argument("--tree-tile", type=int, default=64)
     p.add_argument("--col-chunk", type=int, default=512)
+    p.add_argument("--split-level", type=int, default=None,
+                   help="fold/rank subtree split level (None = engine auto)")
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--epochs", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
@@ -36,7 +38,7 @@ def main(argv=None) -> int:
     except Exception as e:  # report failures as data, not tracebacks
         result = {"error": f"{type(e).__name__}: {e}"}
     result.update(engine=args.engine, rows=args.rows, row_tile=args.row_tile,
-                  tree_tile=args.tree_tile)
+                  tree_tile=args.tree_tile, split_level=args.split_level)
     print(json.dumps(result), flush=True)
     return 0
 
@@ -65,12 +67,14 @@ def run(args) -> dict:
         eng = FoldKernelEngine(compiler.levelize(forest),
                                row_tile=args.row_tile,
                                tree_tile=args.tree_tile,
+                               split_level=args.split_level,
                                interpret=interpret, limits=limits)
     else:
         from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 
         eng = RankFoldEngine(forest, row_tile=args.row_tile,
                              tree_tile=args.tree_tile,
+                             split_level=args.split_level,
                              interpret=interpret, limits=limits)
         if args.col_chunk != eng.cfg.col_chunk:
             eng.cfg = eng.cfg._replace(col_chunk=args.col_chunk)
@@ -83,6 +87,7 @@ def run(args) -> dict:
         "us_per_sample": dt * 1e6 / args.rows,
         "max_err": err,
         "correct": bool(err <= ORACLE_ATOL),
+        "split_used": getattr(eng, "split_level", 0),
     }
 
 

@@ -75,6 +75,57 @@ def quantize(forest: ForestSpec) -> RankQuantizedForest:
     return RankQuantizedForest(spec=spec, tables=tables, width=width)
 
 
+def band_split(q: RankQuantizedForest, band: int | None = None
+               ) -> tuple[RankQuantizedForest, np.ndarray | None]:
+    """Split features whose threshold count exceeds the plane encoding's rank
+    cap into multiple *virtual features*, one per band of ``band`` sorted
+    thresholds — the unlock for very deep / very large forests where a single
+    feature accumulates >16255 distinct thresholds.
+
+    Virtual feature (f, b) owns thresholds tables[f][b*band:(b+1)*band]; a
+    node with global rank r on f maps to vfid (f, (r-1)//band) with local
+    rank r - band*(r-1)//band ∈ [1, band]. The row-side transform needs no new
+    math: searchsorted against the band's own table IS
+    clip(rank_f(x) - b*band, 0, |band table|), which preserves every compare
+    exactly (cond ⇔ rank_f(x) >= r: below-band ranks clip to 0 < local,
+    above-band ranks clip to |table| >= local; both sides of the band bound
+    are contradiction-free because ranks are monotone).
+
+    Returns (q', base_map) where base_map[vf] = source feature column for
+    row expansion, or (q, None) when no split is needed.
+    """
+    from tahoe_tpu.forest.compiler import RANK_MAX
+
+    band = band or RANK_MAX
+    if q.max_ranks <= band:
+        return q, None
+
+    new_tables: List[np.ndarray] = []
+    base_map: List[int] = []
+    first_vf = []  # feature f's first virtual feature index
+    for f, t in enumerate(q.tables):
+        first_vf.append(len(new_tables))
+        nb = max(1, -(-len(t) // band))
+        for b in range(nb):
+            new_tables.append(t[b * band : (b + 1) * band])
+            base_map.append(f)
+
+    spec = q.spec.copy()
+    internal = ~spec.is_leaf
+    ranks = spec.values[internal].astype(np.int64)
+    fids = spec.fids[internal]
+    # pass-through internal nodes may carry rank 0 (no thresholds on the
+    # feature) — band 0, local rank 0 keeps cond False for every x >= 1
+    b_idx = np.maximum(ranks - 1, 0) // band
+    spec.fids[internal] = np.asarray(first_vf, np.int32)[fids] + b_idx.astype(np.int32)
+    spec.values[internal] = (ranks - b_idx * band).astype(np.float32)
+    spec.num_cols = len(new_tables)
+    return (
+        RankQuantizedForest(spec=spec, tables=new_tables, width=q.width),
+        np.asarray(base_map, np.int32),
+    )
+
+
 def transform_rows_np(q: RankQuantizedForest, data: np.ndarray) -> np.ndarray:
     """Features → ranks (f32-encoded ints; missing → NaN) on the host.
 

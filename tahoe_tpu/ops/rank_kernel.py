@@ -31,6 +31,7 @@ from tahoe_tpu.config import TpuLimits
 from tahoe_tpu.forest.compiler import RANK_MAX_COLS, levelize, rank_normalize
 from tahoe_tpu.forest.quantize import (
     RankQuantizedForest,
+    band_split,
     quantize,
     quantized_spec_for_engines,
 )
@@ -53,6 +54,14 @@ class RankFoldConfig(NamedTuple):
     # plane-vector groups (compiler.rank_groups): planes are [Rt, 128*G],
     # matrices [128*G, cols] — one dot with a G*128-lane contraction
     groups: int = 1
+    # deep-forest subtree blocking (mirrors fold_kernel's split_level, but the
+    # streamed unit is the *matrix* working set, 128 B/node): levels >=
+    # split_level are folded one subtree GROUP at a time through a third grid
+    # dimension — a group is g = 128/tree_tile adjacent subtrees treated as a
+    # virtual tile of 128 virtual trees, so every matmul chunk and the roots
+    # scratch write stay 128-lane aligned. Root values accumulate in VMEM
+    # scratch; the last group folds the top levels. 0 = whole-level fold.
+    split_level: int = 0
 
 
 def _make_kernel(cfg: RankFoldConfig):
@@ -60,6 +69,8 @@ def _make_kernel(cfg: RankFoldConfig):
     TR = cfg.tree_tile
     Rt = cfg.row_tile
     CH = cfg.col_chunk
+    if cfg.split_level:
+        return _make_split_kernel(cfg)
 
     def kernel(p_ref, *refs):
         mat_refs = refs[0:D]
@@ -129,10 +140,159 @@ def _make_kernel(cfg: RankFoldConfig):
     return kernel
 
 
+def _make_split_kernel(cfg: RankFoldConfig):
+    """Subtree-blocked deep variant (split_level > 0).
+
+    Grid = (row tiles, tree tiles, subtree groups), groups innermost. Each
+    step folds one group of g = 128/TR bottom subtrees — laid out as a
+    virtual tile of 128 virtual trees (col = c*128 + s_local*TR + tr, c the
+    subtree-local bit-reversed node index) — and stores the group's 128 root
+    values into scratch row s. The final group's step folds the top
+    ``split_level`` levels over the scratch (whose flat column order is
+    exactly the standard node-major layout at level Ls: col = s*TR + tr) and
+    accumulates margins across tree tiles. The TPU rendition of streaming
+    tree chunks through fast memory (reference SPLIT_FOREST,
+    Struct.h:1414-1606) applied along the *depth* axis, where the rank form's
+    128 B/node matrices make whole-tree residency impossible.
+    """
+    D = cfg.depth
+    TR = cfg.tree_tile
+    Rt = cfg.row_tile
+    CH = cfg.col_chunk
+    Ls = cfg.split_level
+    Db = D - Ls
+    SG = (TR << Ls) // LANE
+
+    def kernel(p_ref, *refs):
+        top_refs = refs[0:Ls]
+        bot_refs = refs[Ls:D]  # bot_refs[b] = level Ls+b, this group's slab
+        leaf_ref = refs[D]
+        out_ref = refs[D + 1]
+        roots_ref = refs[D + 2]  # VMEM scratch [SG, Rt, 128]
+
+        planes = p_ref[:]  # [Rt, 128*G] int8
+
+        def matcond(ref, c0, width):
+            diff = jax.lax.dot_general(
+                planes, ref[:, c0 : c0 + width], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return diff >= 0
+
+        s = pl.program_id(2)
+        t = pl.program_id(1)
+
+        # ---- bottom fold: one group = 128 virtual trees of depth Db ----
+        w = None
+        for b in range(Db - 1, -1, -1):
+            n = (1 << b) * LANE
+            width = min(CH, n)
+            n_chunks = n // width
+            new_w = []
+            for c in range(n_chunks):
+                cnd = matcond(bot_refs[b], c * width, width)
+                if w is None:
+                    lo = jnp.broadcast_to(
+                        leaf_ref[:, c * width : (c + 1) * width], (Rt, width))
+                    hi = jnp.broadcast_to(
+                        leaf_ref[:, n + c * width : n + (c + 1) * width],
+                        (Rt, width))
+                elif n >= CH:
+                    lo, hi = w[c], w[c + n_chunks]
+                else:
+                    lo, hi = w[0][:, :n], w[0][:, n : 2 * n]
+                new_w.append(jnp.where(cnd, hi, lo))
+            w = new_w
+        roots_ref[s] = w[0]  # [Rt, 128] group root values
+
+        # ---- top fold over all groups' roots, last group only ----
+        @pl.when(s == SG - 1)
+        def _top():
+            def scratch_cols(c0, width):
+                parts = [roots_ref[i]
+                         for i in range(c0 // LANE, (c0 + width) // LANE)]
+                return parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=1)
+
+            w = None
+            for d in range(Ls - 1, -1, -1):
+                n = (1 << d) * TR
+                width = min(CH, max(n, LANE))
+                n_chunks = _cdiv(n, width)
+                new_w = []
+                for c in range(n_chunks):
+                    cnd = matcond(top_refs[d], c * width, width)
+                    if n < width:
+                        cnd = cnd[:, :n]
+                    if w is None and n >= LANE:
+                        cw = min(width, n)
+                        lo = scratch_cols(c * cw, cw)
+                        hi = scratch_cols(n + c * cw, cw)
+                    elif w is None:
+                        sc = scratch_cols(0, LANE)
+                        lo, hi = sc[:, :n], sc[:, n : 2 * n]
+                    elif n >= CH:
+                        lo, hi = w[c], w[c + n_chunks]
+                    else:
+                        lo, hi = w[0][:, :n], w[0][:, n : 2 * n]
+                    new_w.append(jnp.where(cnd, hi, lo))
+                w = new_w
+
+            wv = w[0][:, :TR] if TR < LANE else None
+            if wv is None:
+                partial = jnp.sum(w[0], axis=1, keepdims=True)
+                for c in range(1, len(w)):
+                    partial = partial + jnp.sum(w[c], axis=1, keepdims=True)
+            else:
+                partial = jnp.sum(wv, axis=1, keepdims=True)
+
+            @pl.when(t == 0)
+            def _init():
+                out_ref[:] = partial
+
+            @pl.when(t != 0)
+            def _acc():
+                out_ref[:] = out_ref[:] + partial
+
+    return kernel
+
+
 def rank_fold_margins(cfg: RankFoldConfig, tables, planes_pad):
     rows = planes_pad.shape[0]
     Rt = cfg.row_tile
     G = cfg.groups
+    Ls = cfg.split_level
+
+    if Ls:
+        Db = cfg.depth - Ls
+        SG = (cfg.tree_tile << Ls) // LANE
+        grid = (rows // Rt, cfg.padded_trees // cfg.tree_tile, SG)
+        in_specs = [pl.BlockSpec((Rt, LANE * G), lambda r, t, s: (r, 0),
+                                 memory_space=pltpu.VMEM)]
+        for d in range(Ls):
+            in_specs += [pl.BlockSpec((LANE * G, cfg.seg[d]),
+                                      lambda r, t, s: (0, t),
+                                      memory_space=pltpu.VMEM)]
+        for b in range(Db):
+            in_specs += [pl.BlockSpec((LANE * G, (1 << b) * LANE),
+                                      lambda r, t, s, _sg=SG: (0, t * _sg + s),
+                                      memory_space=pltpu.VMEM)]
+        in_specs += [pl.BlockSpec((1, (1 << Db) * LANE),
+                                  lambda r, t, s, _sg=SG: (0, t * _sg + s),
+                                  memory_space=pltpu.VMEM)]
+        out_spec = pl.BlockSpec((Rt, 1), lambda r, t, s: (r, 0),
+                                memory_space=pltpu.VMEM)
+        margins = pl.pallas_call(
+            _make_kernel(cfg),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((SG, Rt, LANE), jnp.float32)],
+            interpret=cfg.interpret,
+        )(planes_pad, *tables)
+        return margins[:, 0]
+
     grid = (rows // Rt, cfg.padded_trees // cfg.tree_tile)
 
     in_specs = [pl.BlockSpec((Rt, LANE * G), lambda r, t: (r, 0),
@@ -167,12 +327,23 @@ class RankFoldEngine:
 
     def __init__(self, forest: ForestSpec, *, row_tile: int = 256,
                  tree_tile: int = 64, interpret: bool = False,
+                 split_level: int | None = None, band: int | None = None,
                  limits: TpuLimits = TpuLimits()):
         if forest.num_cols > RANK_MAX_COLS:
             raise NotImplementedError(
                 f"rank-MXU kernel supports <= {RANK_MAX_COLS} features"
             )
         self.q: RankQuantizedForest = quantize(forest)
+        self._raw_missing = forest.missing
+        # features with more distinct thresholds than the plane encoding's
+        # rank cap split into banded virtual features (quantize.band_split);
+        # rows expand by a column gather in _canonicalize
+        self.q, self._vf_base = band_split(self.q, band)
+        if self.q.spec.num_cols > RANK_MAX_COLS:
+            raise NotImplementedError(
+                f"banded forest needs {self.q.spec.num_cols} virtual "
+                f"features > {RANK_MAX_COLS}"
+            )
         qspec = quantized_spec_for_engines(self.q)
         lev = levelize(qspec)
 
@@ -190,8 +361,28 @@ class RankFoldEngine:
 
         self.groups = rank_groups(lev.num_cols)
 
+        if split_level is None:
+            # smallest split level whose peak VMEM fits (0 = whole-level
+            # fold); deepest split as last resort
+            candidates = self.valid_split_levels(lev.depth, self.tree_tile)
+            split_level = next(
+                (ls for ls in candidates if self.vmem_bytes(
+                    lev.depth, row_tile, self.tree_tile, self.groups, ls
+                ) <= limits.usable_vmem),
+                min(candidates, key=lambda ls: self.vmem_bytes(
+                    lev.depth, row_tile, self.tree_tile, self.groups, ls)),
+            )
+        elif split_level > 0 and split_level not in self.valid_split_levels(
+            lev.depth, self.tree_tile
+        ):
+            raise ValueError(
+                f"split_level {split_level} invalid for depth {lev.depth}, "
+                f"tree_tile {self.tree_tile}"
+            )
+        self.split_level = split_level
+
         need = self.vmem_bytes(lev.depth, row_tile, self.tree_tile,
-                               self.groups)
+                               self.groups, split_level)
         if not interpret and need > limits.usable_vmem:
             raise ValueError(
                 f"tile needs ~{need/2**20:.1f} MiB VMEM > budget "
@@ -205,13 +396,44 @@ class RankFoldEngine:
     # ------------------------------------------------------------------
     @staticmethod
     def vmem_bytes(depth: int, row_tile: int, tree_tile: int,
-                   groups: int = 1) -> int:
+                   groups: int = 1, split_level: int = 0) -> int:
+        if split_level:
+            db = depth - split_level
+            top = tree_tile * (1 << split_level) * LANE * groups  # int8
+            bot = 2 * (1 << db) * LANE * LANE * groups  # streamed, x2 dbuf
+            leaf = 2 * (1 << db) * LANE * 4
+            scratch = row_tile * (tree_tile << split_level) * 4
+            w_live = 2 * row_tile * (1 << max(db - 1, 0)) * LANE * 4
+            return int(top + bot + leaf + scratch + w_live
+                       + row_tile * LANE * groups * 8)
         nodes = (1 << depth) - 1
         mats = tree_tile * nodes * 128 * groups  # int8 matrices
         leaf = tree_tile * (1 << depth) * 4
         w_top = row_tile * (1 << max(depth - 1, 0)) * tree_tile * 4
         return int(mats + leaf + w_top + w_top // 2
                    + row_tile * LANE * groups * 8)
+
+    @classmethod
+    def valid_split_levels(cls, depth: int, tree_tile: int) -> list:
+        """Usable split levels, smallest first (0 = whole-level fold).
+        Subtree blocking needs the roots span to cover whole 128-lane vregs
+        (tree_tile * 2^Ls >= 128) and tree_tile <= 128 (virtual-tile
+        grouping), leaving at least one bottom level."""
+        out = [0]
+        if tree_tile <= LANE:
+            for ls in range(1, depth):
+                if (tree_tile << ls) >= LANE:
+                    out.append(ls)
+        return out
+
+    @classmethod
+    def min_vmem_bytes(cls, depth: int, row_tile: int, tree_tile: int,
+                       groups: int = 1) -> int:
+        """Min peak VMEM over allowed split levels (for feasibility)."""
+        return min(
+            cls.vmem_bytes(depth, row_tile, tree_tile, groups, ls)
+            for ls in cls.valid_split_levels(depth, tree_tile)
+        )
 
     # ------------------------------------------------------------------
     def _build_tables(self, lev) -> None:
@@ -251,10 +473,28 @@ class RankFoldEngine:
             # flatten tiles along the column axis: [128G, ntiles*seg]
             return np.ascontiguousarray(t.transpose(1, 0, 2)).reshape(L, -1)
 
-        self.seg = [_round_up((1 << d) * TR, LANE) for d in range(D)]
-        self.leaf_seg = _round_up((1 << D) * TR, LANE)
+        Ls = self.split_level
 
-        tabs = [jnp.asarray(tile_node_major_mat(pad_trees_mat(m))) for m in mats]
+        def tile_subtree_mat(m, b):
+            """Split-mode bottom level Ls+b: [128G, Tp, 2^(Ls+b)] (node
+            j = c*2^Ls + s, c the subtree-local bit-reversed index) →
+            [128G, ntiles*SG*2^b*128] ordered (tile, group, c, s_local, tr)
+            so each (tree tile, subtree group) block is one contiguous slab
+            with col = c*128 + s_local*TR + tr."""
+            L = m.shape[0]
+            g = LANE // TR
+            SG = (TR << Ls) // LANE
+            m = m.reshape(L, Tp // TR, TR, 1 << b, SG, g)
+            t = np.ascontiguousarray(m.transpose(1, 4, 0, 3, 5, 2))
+            t = t.reshape(Tp // TR, SG, L, (1 << b) * LANE)
+            return np.ascontiguousarray(t.transpose(2, 0, 1, 3)).reshape(L, -1)
+
+        def tile_subtree_leaf(a):
+            g = LANE // TR
+            SG = (TR << Ls) // LANE
+            a = a.reshape(Tp // TR, TR, 1 << (D - Ls), SG, g)
+            t = np.ascontiguousarray(a.transpose(0, 3, 2, 4, 1))
+            return t.reshape(1, -1)
 
         def pad_tree_axis(a, fill):
             if a.shape[0] == Tp:
@@ -273,7 +513,22 @@ class RankFoldEngine:
             return t.reshape(1, -1)
 
         leaf_p = pad_tree_axis(leaf, np.float32(0))
-        self.tables = (*tabs, jnp.asarray(tile_node_major(leaf_p, np.float32(0))))
+        if Ls:
+            self.seg = [_round_up((1 << d) * TR, LANE) for d in range(Ls)]
+            self.leaf_seg = (1 << (D - Ls)) * LANE
+            padded = [pad_trees_mat(m) for m in mats]
+            tabs = [jnp.asarray(tile_node_major_mat(padded[d]))
+                    for d in range(Ls)]
+            tabs += [jnp.asarray(tile_subtree_mat(padded[d], d - Ls))
+                     for d in range(Ls, D)]
+            self.tables = (*tabs, jnp.asarray(tile_subtree_leaf(leaf_p)))
+        else:
+            self.seg = [_round_up((1 << d) * TR, LANE) for d in range(D)]
+            self.leaf_seg = _round_up((1 << D) * TR, LANE)
+            tabs = [jnp.asarray(tile_node_major_mat(pad_trees_mat(m)))
+                    for m in mats]
+            self.tables = (*tabs,
+                           jnp.asarray(tile_node_major(leaf_p, np.float32(0))))
         # rank-transform tables: the bucketed v2 kernel wins once tables are
         # big enough to amortize its fixed per-feature cost; the flat v1
         # compare sweep wins for hist-style (<=256-threshold) tables
@@ -295,13 +550,17 @@ class RankFoldEngine:
             depth=D, row_tile=self.row_tile, tree_tile=TR, padded_trees=Tp,
             seg=tuple(self.seg), leaf_seg=self.leaf_seg,
             interpret=self.interpret, groups=self.groups,
+            split_level=self.split_level,
         )
 
     # ------------------------------------------------------------------
     def _canonicalize(self, data):
-        """f32 rows → NaN-missing, 128-lane-padded, row_tile-padded."""
+        """f32 rows → NaN-missing, virtual-feature-expanded, 128-lane-padded,
+        row_tile-padded. Missing detection uses the ORIGINAL forest sentinel
+        (band splitting replaces the rank-domain spec's sentinel with NaN but
+        raw rows still carry the original)."""
         x = data.astype(jnp.float32)
-        missing = self.q.spec.missing
+        missing = self._raw_missing
         if np.isnan(np.float32(missing)):
             miss = jnp.isnan(x)
         else:
@@ -309,6 +568,8 @@ class RankFoldEngine:
 
             miss = jnp.abs(x - jnp.float32(missing)) <= jnp.float32(MISSING_EPS)
         x = jnp.where(miss, jnp.float32(np.nan), x)
+        if self._vf_base is not None:
+            x = x[:, self._vf_base]  # duplicate base columns per band
         x = jnp.pad(x, ((0, (-x.shape[0]) % self.row_tile),
                         (0, LANE - x.shape[1])))
         return x

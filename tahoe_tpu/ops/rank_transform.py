@@ -163,17 +163,23 @@ def _signed_digits(keys: np.ndarray) -> np.ndarray:
 
 
 def build_bucket_tables(tables, num_cols: int):
-    """Per-feature sorted thresholds → (cmax [F,128] int32, digit planes
+    """Per-feature sorted thresholds → (cmax [F_pad,128] int32, digit planes
     bf16, S, paired) for the v2 kernel. Each feature's table is padded to
     128*S with INT32_MAX keys (never <= any finite x); S is chosen so every
-    feature has at least one pad element, guaranteeing b < 128.
+    feature has at least one pad element, guaranteeing b < 128. The feature
+    axis is padded to whole 30-feature plane groups (all-INT32_MAX tables →
+    rank 0) so the kernel can stream one group's tables per grid step.
 
     When S <= 64 two features share each 128-lane digit slot (``paired``):
-    planes are [ceil(F/2), 256, 4*128] block matrices (rows 0-127 = even
+    planes are [F_pad/2, 256, 4*128] block matrices (rows 0-127 = even
     feature → lanes [0,64), rows 128-255 = odd feature → lanes [64,128)), so
     one matmul + one combine + one compare serve two features."""
     S = max((len(t) // 128 + 1 for t in tables), default=1)
-    F = num_cols
+    G = rank_groups(num_cols)
+    # multi-group: pad the feature axis to whole 30-feature groups so the
+    # kernel streams one group's tables per grid step (single-group forests
+    # keep the exact feature count — no padded loop iterations)
+    F = num_cols if G == 1 else G * RANK_GROUP_COLS
     paired = S <= LANE // 2
     Sh = LANE // 2 if paired else _round_up(S, LANE)
     keys = np.full((F, 128, Sh), np.int32(np.iinfo(np.int32).max), np.int32)
@@ -205,16 +211,49 @@ def build_bucket_tables(tables, num_cols: int):
     return jnp.asarray(cmax), jnp.asarray(planes, jnp.bfloat16), S, paired
 
 
-def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool):
+def _assemble_group(q, nan_mask, row_tile: int):
+    """Single-group variant of _assemble_planes: int32 ranks [Rt, 30] →
+    one group's plane block [Rt, 128] (used by the group-streamed kernel)."""
+    qh = q // RANK_BASE
+    ql = q - qh * RANK_BASE
+    m128 = jnp.int32(-128)
+
+    def seg(vals):
+        return jnp.where(nan_mask != 0, m128, vals)
+
+    tail = jnp.concatenate(
+        [
+            jnp.full((row_tile, 1), 127, jnp.int32),
+            jnp.full((row_tile, 1), 1, jnp.int32),
+            jnp.zeros((row_tile, 6), jnp.int32),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate(
+        [seg(qh), seg(ql), seg(-qh), seg(-ql), tail], axis=1
+    )
+
+
+def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
+                    group_mode: bool = False):
     INT_MAX_POS = 0x7FFFFFFF
+    # group mode: each grid step handles ONE 30-feature plane group whose
+    # features sit in lanes [0, 30) of its x slot; tables stream per group
+    F_loc = RANK_GROUP_COLS if group_mode else F
 
     def kernel(x_ref, cmax_ref, digs_ref, qw_ref, out_ref):
+        def cmax_row(f):
+            # group mode ships cmax 3-D ([G, 30, 128]) so the block's last
+            # two dims match the full array (Pallas sublane constraint)
+            return (cmax_ref[0, f : f + 1, :] if group_mode
+                    else cmax_ref[f : f + 1, :])
+
         x = x_ref[:]  # [Rt, 128] f32, missing canonicalized to NaN
         xz = x + jnp.float32(0.0)  # -0.0 → +0.0
         xb = jax.lax.bitcast_convert_type(xz, jnp.int32)
         xkey = jnp.where(xb >= 0, xb, xb ^ jnp.int32(INT_MAX_POS))
         # NaN keys are large-positive; masked out at the end like v1
-        nan_mask = (x[:, :F] != x[:, :F]).astype(jnp.int32)
+        nan_mask = (x[:, :F_loc] != x[:, :F_loc]).astype(jnp.int32)
 
         one_col = jnp.ones((row_tile, 1), jnp.bfloat16)
 
@@ -234,12 +273,12 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool):
 
         ranks = []
         if paired:
-            for p in range(0, F, 2):
-                f0, f1 = p, min(p + 1, F - 1)
+            for p in range(0, F_loc, 2):
+                f0, f1 = p, min(p + 1, F_loc - 1)
                 xk0 = xkey[:, f0 : f0 + 1]
                 xk1 = xkey[:, f1 : f1 + 1]
-                full0 = (xk0 >= cmax_ref[f0 : f0 + 1, :]).astype(jnp.bfloat16)
-                full1 = (xk1 >= cmax_ref[f1 : f1 + 1, :]).astype(jnp.bfloat16)
+                full0 = (xk0 >= cmax_row(f0)).astype(jnp.bfloat16)
+                full1 = (xk1 >= cmax_row(f1)).astype(jnp.bfloat16)
                 oh2 = jnp.concatenate(
                     [shift_one_hot(full0), shift_one_hot(full1)], axis=1
                 )  # [Rt, 256]
@@ -263,9 +302,9 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool):
                 if f1 > f0:
                     ranks.append(qv[:, 1:2] * jnp.float32(S) + qv[:, 3:4])
         else:
-            for f in range(F):
+            for f in range(F_loc):
                 xk = xkey[:, f : f + 1]  # [Rt, 1]
-                full = (xk >= cmax_ref[f : f + 1, :]).astype(jnp.bfloat16)
+                full = (xk >= cmax_row(f)).astype(jnp.bfloat16)
                 oh = shift_one_hot(full)
                 m = jax.lax.dot_general(
                     oh, digs_ref[f],
@@ -281,8 +320,11 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool):
                     preferred_element_type=jnp.float32,
                 )  # [Rt, LANE]; col 0 = sum(full) = b, col 1 = sum(pc)
                 ranks.append(qv[:, :1] * jnp.float32(S) + qv[:, 1:2])
-        q = jnp.concatenate(ranks, axis=1).astype(jnp.int32)  # [Rt, F]
-        out_ref[:] = _assemble_planes(q, nan_mask, F, row_tile)
+        q = jnp.concatenate(ranks, axis=1).astype(jnp.int32)  # [Rt, F_loc]
+        if group_mode:
+            out_ref[:] = _assemble_group(q, nan_mask, row_tile)
+        else:
+            out_ref[:] = _assemble_planes(q, nan_mask, F, row_tile)
 
     return kernel
 
@@ -290,7 +332,12 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool):
 def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, paired: bool, *,
                           row_tile: int = 256, interpret: bool = False):
     """Bucketed rank transform: x_canon [R_pad, 128] f32 (NaN missing) +
-    bucket tables (build_bucket_tables) → int8 planes [R_pad, 128*G]."""
+    bucket tables (build_bucket_tables) → int8 planes [R_pad, 128*G].
+
+    Multi-group forests stream one 30-feature plane group's tables per grid
+    step (digit planes for 100+ banded features would otherwise bust scoped
+    VMEM); each step writes its own 128-lane block of the output — the plane
+    layout is group-major, so blocks align exactly."""
     rows = x_canon.shape[0]
     F = cmax.shape[0]
     G = rank_groups(F)
@@ -299,8 +346,37 @@ def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, paired: bool, *,
     assert rows % row_tile == 0
     if F > RANK_MAX_COLS:
         raise ValueError(f"rank planes support <= {RANK_MAX_COLS} features")
-
     qw_rows = 3 * LANE if paired else LANE + Sp
+
+    if G > 1:
+        FC = RANK_GROUP_COLS
+        # group-local x: slot g carries features [30g, 30(g+1)) in lanes [0,30)
+        xg = jnp.concatenate(
+            [jnp.pad(x_canon[:, g * FC : (g + 1) * FC],
+                     ((0, 0), (0, LANE - FC))) for g in range(G)],
+            axis=1,
+        )
+        Pg = P // G  # digit planes per group (15 paired / 30 plain)
+        out32 = pl.pallas_call(
+            _make_kernel_v2(F, S, Sp, row_tile, paired, group_mode=True),
+            grid=(rows // row_tile, G),
+            in_specs=[
+                pl.BlockSpec((row_tile, LANE), lambda r, g: (r, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, FC, LANE), lambda r, g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Pg, rows_dig, cols_dig), lambda r, g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((qw_rows, LANE), lambda r, g: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((row_tile, LANE), lambda r, g: (r, g),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, LANE * G), jnp.int32),
+            interpret=interpret,
+        )(xg, cmax.reshape(G, FC, LANE), digs, _qw_weights(Sp, paired))
+        return out32.astype(jnp.int8)
+
     out32 = pl.pallas_call(
         _make_kernel_v2(F, S, Sp, row_tile, paired),
         grid=(rows // row_tile,),

@@ -73,13 +73,15 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
     if strategy == Strategy.RANK_MXU:
         from tahoe_tpu.forest.compiler import rank_groups
 
-        G = rank_groups(forest.num_cols)
-        # 2 VPU ops/node (cmp + select), ~0.55x the fold kernel's 3-op cost,
-        # plus the int8 matmul itself: 128*G MACs/node at ~300 effective
-        # int8 TOPS (doesn't fully overlap the VPU on v5e — measured on
-        # covtype-class G=2 shapes)
+        vcols = feasibility.rank_virtual_cols(forest)
+        G = rank_groups(vcols)
+        # the int8 matmul dominates: 128*G MACs/node at ~105 effective int8
+        # TOPS, plus a small G-independent VPU residue (compare + select).
+        # Fit to three v5e measurements — SUSY-class G=1 shallow 1.5 ps/node,
+        # deep-12 G=1 split 1.4 ps, deep-14 G=3 banded split 4.1 ps — the
+        # per-node cost is essentially linear in G (padded trees included)
         compute = rows * nodes_per_row * (
-            cal.fold_node_ns / 1e9 * 0.55 + 128.0 * G / 300e12
+            cal.fold_node_ns / 1e9 * 0.15 + 128.0 * G / 105e12
         )
         import numpy as np
 
@@ -90,9 +92,9 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
         ]
         if max(k_per_f, default=0) > 256:
             # bucketed v2 transform (rank_transform.py): ~constant VPU work
-            # per (row, feature) regardless of table size; ~1.5 ns measured
-            # on v5e at SUSY scale
-            transform = rows * forest.num_cols * 1.5e-9
+            # per (row, VIRTUAL feature — banding expands columns) regardless
+            # of table size; ~1.5 ns measured on v5e at SUSY scale
+            transform = rows * vcols * 1.5e-9
         else:
             # flat compare sweep: fixed ~1.2 ns/(row, feature) of loop +
             # plane assembly, plus ~0.7 ps per (row, distinct threshold)

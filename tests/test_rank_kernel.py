@@ -90,3 +90,83 @@ def test_multi_group_features():
     assert eng.groups == 2
     got = np.asarray(eng.predict(data))
     np.testing.assert_allclose(got, oracle.predict(forest, data), atol=1e-5)
+
+
+@pytest.mark.parametrize("depth,trees,cols,tt,ls", [
+    (5, 40, 8, 32, 2),    # TR<<Ls = 128, Db=3
+    (7, 20, 34, 16, 3),   # two plane groups through the split path
+    (8, 10, 8, 8, 5),     # SG=2 subtree groups per tree tile
+    (11, 12, 18, 8, 6),   # deep: Db=5, streamed bottom subtrees
+])
+def test_split_level_matches_oracle(depth, trees, cols, tt, ls):
+    """Subtree-blocked deep mode: identical results to the whole-level fold."""
+    forest = synthetic.generate_forest(trees, depth, cols, leaf_prob=0.1,
+                                       seed=depth * 7 + trees)
+    data = synthetic.generate_data(53, cols, missing_prob=0.1, seed=depth + 3)
+    eng = _engine(forest, row_tile=8, tree_tile=tt, split_level=ls)
+    assert eng.split_level == ls
+    np.testing.assert_allclose(
+        np.asarray(eng.predict(data)), oracle.predict(forest, data), atol=1e-5
+    )
+
+
+def test_split_level_validation():
+    forest = synthetic.generate_forest(10, 6, 8, seed=162)
+    with pytest.raises(ValueError):
+        # TR<<Ls < 128: roots span smaller than one vreg
+        RankFoldEngine(forest, tree_tile=8, split_level=2, interpret=True)
+
+
+@pytest.mark.parametrize("depth,trees,cols,band,ls", [
+    (5, 30, 6, 37, None),   # band split active, no subtree split
+    (6, 40, 10, 64, 1),     # band split + subtree split together
+    (4, 12, 3, 16, None),   # heavy banding: ~3 bands per feature
+])
+def test_band_split_matches_oracle(depth, trees, cols, band, ls):
+    """Features over the rank cap split into banded virtual features
+    (quantize.band_split) with exact compare parity."""
+    forest = synthetic.generate_forest(trees, depth, cols, leaf_prob=0.1,
+                                       seed=depth * 11 + trees)
+    data = synthetic.generate_data(71, cols, missing_prob=0.15, seed=5)
+    eng = _engine(forest, row_tile=8, tree_tile=64, band=band, split_level=ls)
+    assert eng._vf_base is not None
+    np.testing.assert_allclose(
+        np.asarray(eng.predict(data)), oracle.predict(forest, data), atol=1e-5
+    )
+
+
+def test_band_split_finite_missing():
+    forest = synthetic.generate_forest(20, 5, 6, leaf_prob=0.1, missing=-999.0,
+                                       seed=77)
+    data = synthetic.generate_data(64, 6, missing_prob=0.2, missing=-999.0,
+                                   seed=9)
+    eng = _engine(forest, row_tile=8, tree_tile=32, band=23)
+    assert eng._vf_base is not None
+    np.testing.assert_allclose(
+        np.asarray(eng.predict(data)), oracle.predict(forest, data), atol=1e-5
+    )
+
+
+def test_band_split_noop_when_under_cap():
+    from tahoe_tpu.forest import quantize as qz
+
+    forest = synthetic.generate_forest(6, 4, 5, seed=80)
+    q = qz.quantize(forest)
+    q2, base = qz.band_split(q)
+    assert base is None and q2 is q
+
+
+def test_deep_auto_split_feasible():
+    """Depth 14 (whole-level tables bust VMEM at any tile) picks a split
+    level automatically and fits the budget."""
+    from tahoe_tpu.config import TpuLimits
+
+    forest = synthetic.generate_forest(8, 14, 10, leaf_prob=0.05, seed=163)
+    eng = _engine(forest, row_tile=8, tree_tile=8)
+    assert eng.split_level > 0
+    need = RankFoldEngine.vmem_bytes(14, 8, 8, 1, eng.split_level)
+    assert need <= TpuLimits().usable_vmem
+    data = synthetic.generate_data(9, 10, missing_prob=0.1, seed=164)
+    np.testing.assert_allclose(
+        np.asarray(eng.predict(data)), oracle.predict(forest, data), atol=1e-5
+    )

@@ -72,6 +72,35 @@ def test_v2_unpaired_matches_numpy():
     assert np.array_equal(np.asarray(got), _want(q, data))
 
 
+@pytest.mark.parametrize("cols,big", [(40, False), (54, False), (40, True)])
+def test_v2_group_streamed_matches_numpy(cols, big):
+    """Multi-group forests stream one plane group's tables per grid step;
+    output blocks must tile the group-major plane layout exactly. ``big``
+    exercises the unpaired (S > 64) slot layout through group mode."""
+    rng = np.random.default_rng(7)
+    lo, hi = (9000, 16200) if big else (260, 900)
+    tables = [np.unique(rng.uniform(-1, 1, int(rng.integers(lo, hi)))
+                        .astype(np.float32)) for _ in range(cols)]
+    rows = 32
+    data = rng.uniform(-1.2, 1.2, (rows, cols)).astype(np.float32)
+    data[rng.random((rows, cols)) < 0.1] = np.nan
+    data[0, 0] = tables[0][0]  # exact threshold tie
+
+    ranks = np.empty_like(data)
+    for f in range(cols):
+        ranks[:, f] = np.searchsorted(tables[f], data[:, f], side="right")
+    ranks[np.isnan(data)] = np.nan
+    want = quantize.encode_rank_planes_np(ranks)
+
+    cmax, digs, S, paired = build_bucket_tables(tables, cols)
+    assert paired != big
+    got = rank_planes_kernel_v2(
+        jnp.asarray(_canon(data, cols)), cmax, digs, S, paired,
+        row_tile=16, interpret=True,
+    )
+    assert np.array_equal(np.asarray(got), want)
+
+
 def test_v1_flat_sweep_matches_numpy():
     forest = synthetic.generate_forest(10, 6, 12, seed=2)
     q = quantize.quantize(forest)
