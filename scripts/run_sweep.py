@@ -52,6 +52,9 @@ SHAPES = [
     ("stumps_like",  800, 3,  10, 20000, 0.05),
     # extreme depth: banded rank (multi-band virtual features) + deep fold
     ("deep15_like",  30,  15, 16, 1000,  0.00),
+    # trained-ensemble shape: per-tree depths 6..12, stored complete at 12 —
+    # exercises unreachable-depth truncation + the DEPTH_BUCKETED strategy
+    ("trained_mix_like", 300, 12, 26, 4000, 0.01),
 ]
 
 
@@ -97,7 +100,12 @@ def main() -> int:
             label = os.path.basename(name)
         else:
             trees, depth, cols, rows, mprob = payload
-            spec = synthetic.generate_forest(trees, depth, cols, seed=1)
+            if name.startswith("trained_mix"):
+                spec = synthetic.generate_mixed_depth_forest(
+                    trees, depth, cols, seed=1
+                )
+            else:
+                spec = synthetic.generate_forest(trees, depth, cols, seed=1)
             data = synthetic.generate_data(rows, cols, missing_prob=mprob, seed=2)
             label = name
 

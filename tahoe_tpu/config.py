@@ -70,6 +70,12 @@ class Strategy(enum.Enum):
     # compressed node format (Struct.h:1827-1852): node tables rank-quantized
     # to int8 and traversed via MXU matmuls (ops/rank_kernel.py).
     RANK_MXU = 6
+    # Framework-native seventh strategy: trees bucketed by per-tree REACHABLE
+    # depth, each bucket folded at its own (truncated) depth in one jit,
+    # margins summed (ops/bucketed.py). Pays off on trained ensembles stored
+    # as complete trees of the global max depth; spiritual successor of the
+    # reference's similar-tree clustering (Struct.h:1854-1891).
+    DEPTH_BUCKETED = 7
 
     @property
     def strategy_number(self) -> int:

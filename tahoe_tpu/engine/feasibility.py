@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import numpy as np
+
 from tahoe_tpu.config import Strategy, TpuLimits
 from tahoe_tpu.forest.spec import ForestSpec
 from tahoe_tpu.ops.fold_kernel import LANE, FoldKernelEngine
@@ -75,6 +77,27 @@ def check(strategy: Strategy, forest: ForestSpec,
         # leveled form materializes 2^depth leaves per tree
         if forest.depth > 14:
             return f"leveled form of depth {forest.depth} is too large"
+    if strategy == Strategy.DEPTH_BUCKETED:
+        from tahoe_tpu.forest.compiler import reachable_depths
+
+        if forest.num_cols > LANE:
+            return f"fold kernel needs <= {LANE} features, forest has {forest.num_cols}"
+        depths = reachable_depths(forest)
+        if np.unique(depths).size < 2:
+            return (
+                "uniform tree depth — identical work to SPLIT_FOREST"
+            )
+        row_tile, tree_tile = default_tiles(Strategy.SPLIT_FOREST, forest,
+                                            limits)
+        need = FoldKernelEngine.min_vmem_bytes(
+            int(depths.max()), row_tile, min(tree_tile, 8),
+            2 * forest.num_cols <= LANE, forest.num_trees,
+        )
+        if need > limits.usable_vmem:
+            return (
+                f"deepest bucket needs ~{need / 2**20:.1f} MiB VMEM "
+                f"(budget {limits.usable_vmem / 2**20:.1f} MiB)"
+            )
     if strategy == Strategy.RANK_MXU:
         from tahoe_tpu.forest.compiler import RANK_MAX_COLS
         from tahoe_tpu.ops.rank_kernel import RankFoldEngine

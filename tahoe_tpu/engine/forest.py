@@ -32,6 +32,15 @@ class Forest:
 
     def __init__(self, spec: ForestSpec, *, hot_swap: bool = True,
                  cluster: bool = True, limits: TpuLimits = TpuLimits()):
+        # drop unreachable filler levels once, up front: trained forests come
+        # as complete trees (reference loader materializes 2^(depth+1)-1
+        # nodes, BaseTahoeTest.h:282-331) whose deep levels often hold no
+        # reachable node — exact, and every engine/feasibility check then
+        # sizes against the effective depth
+        self.stored_depth = spec.depth
+        d_eff = int(compiler.reachable_depths(spec).max(initial=0))
+        if d_eff < spec.depth:
+            spec = compiler.truncate_depth(spec, d_eff)
         self.spec = spec
         self.limits = limits
         # The gather/packed path uses the fully compiled forest (swap +
@@ -99,6 +108,19 @@ class Forest:
                 tree_tile=tree_tile or dtt or 64,
                 interpret=interpret,
                 limits=TpuLimits(vmem_fraction=1.2),
+            )
+        elif strategy == Strategy.DEPTH_BUCKETED:
+            from tahoe_tpu.ops.bucketed import DepthBucketedFoldEngine
+
+            drt, dtt = feasibility.default_tiles(
+                Strategy.SPLIT_FOREST, self.spec, self.limits
+            )
+            eng = DepthBucketedFoldEngine(
+                self.spec,
+                row_tile=row_tile or drt,
+                tree_tile=tree_tile or dtt,
+                interpret=interpret,
+                limits=self.limits,
             )
         elif strategy in (Strategy.ROW_TILED, Strategy.TENSOR):
             from tahoe_tpu.ops.tensor_engine import TensorEngine

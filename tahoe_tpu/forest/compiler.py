@@ -185,7 +185,60 @@ def bit_reverse_permutation(d: int) -> np.ndarray:
     return perm
 
 
-def levelize(forest: ForestSpec) -> LeveledForest:
+def reachable_mask(forest: ForestSpec) -> np.ndarray:
+    """[T, nodes] bool: node positions a traversal can actually reach (no
+    ancestor is a leaf). Complete-tree storage fills subtrees below early
+    leaves with never-visited filler nodes."""
+    out = np.zeros_like(forest.is_leaf)
+    reach = np.ones((forest.num_trees, 1), bool)
+    for d in range(forest.depth + 1):
+        lev = forest.level_slice(d)
+        out[:, lev] = reach
+        if d < forest.depth:
+            reach = np.repeat(reach & ~forest.is_leaf[:, lev], 2, axis=1)
+    return out
+
+
+def reachable_depths(forest: ForestSpec) -> np.ndarray:
+    """Per-tree effective depth: the number of select levels a traversal can
+    actually take = 1 + depth of the deepest REACHABLE internal node (0 for a
+    stump). Trained forests are stored as complete trees (the reference
+    materializes 2^(depth+1)-1 nodes per tree, BaseTahoeTest.h:282-331), so
+    trees whose real leaves sit high carry levels of unreachable filler that
+    every dense engine would otherwise evaluate."""
+    T = forest.num_trees
+    depths = np.zeros(T, np.int32)
+    reach = np.ones((T, 1), bool)
+    for d in range(forest.depth):
+        internal = reach & ~forest.is_leaf[:, forest.level_slice(d)]
+        depths[internal.any(axis=1)] = d + 1
+        reach = np.repeat(internal, 2, axis=1)
+    return depths
+
+
+def truncate_depth(forest: ForestSpec, new_depth: int) -> ForestSpec:
+    """Complete-tree prefix slice to ``new_depth`` levels. EXACT whenever
+    ``new_depth >= reachable_depths(forest).max()``: every node at the new
+    leaf level is then a real leaf or unreachable filler, so the level's
+    values are valid leaf values wherever a traversal can land."""
+    from tahoe_tpu.config import tree_num_nodes
+
+    if new_depth >= forest.depth:
+        return forest
+    n = tree_num_nodes(new_depth)
+    out = forest.copy()
+    out.depth = new_depth
+    out.values = np.ascontiguousarray(forest.values[:, :n])
+    out.weights = np.ascontiguousarray(forest.weights[:, :n])
+    out.fids = np.ascontiguousarray(forest.fids[:, :n])
+    out.def_left = np.ascontiguousarray(forest.def_left[:, :n])
+    out.is_leaf = forest.is_leaf[:, :n].copy()
+    out.exchange = np.ascontiguousarray(forest.exchange[:, :n])
+    out.is_leaf[:, out.level_slice(new_depth)] = True
+    return out
+
+
+def levelize(forest: ForestSpec, *, truncate: bool = True) -> LeveledForest:
     """ForestSpec → LeveledForest: the engine-facing derived form.
 
     Three normalizations, all semantics-preserving:
@@ -206,7 +259,16 @@ def levelize(forest: ForestSpec) -> LeveledForest:
        recurrence becomes
        ``w_d[j] = cond_d[j] ? w_{d+1}[j + 2^d] : w_{d+1}[j]`` —
        contiguous-half selects with no even/odd deinterleave.
+
+    Plus one work-saving rewrite (``truncate=True``): levels deeper than any
+    REACHABLE internal node are dropped before push-down (truncate_depth) —
+    trained forests stored as complete trees carry unreachable filler levels
+    that would otherwise cost every dense engine 2^d selects each.
     """
+    if truncate:
+        d_eff = int(reachable_depths(forest).max(initial=0))
+        if d_eff < forest.depth:
+            forest = truncate_depth(forest, d_eff)
     T, depth = forest.num_trees, forest.depth
 
     values = forest.values.copy()

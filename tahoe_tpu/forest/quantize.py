@@ -54,12 +54,21 @@ class RankQuantizedForest:
 
 
 def quantize(forest: ForestSpec) -> RankQuantizedForest:
-    """Build the rank-domain forest (thresholds → ranks, exact)."""
+    """Build the rank-domain forest (thresholds → ranks, exact).
+
+    Threshold tables collect only REACHABLE internal nodes: complete-tree
+    storage fills subtrees below early leaves with never-visited filler whose
+    thresholds would otherwise inflate table sizes (and band counts). Filler
+    nodes still get ranks assigned (clipped searchsorted against the real
+    table) — they are never compared, any value is correct there."""
+    from tahoe_tpu.forest.compiler import reachable_mask
+
     F = forest.num_cols
     internal = ~forest.is_leaf
+    live = internal & reachable_mask(forest)
     tables: List[np.ndarray] = []
     for f in range(F):
-        mask = internal & (forest.fids == f)
+        mask = live & (forest.fids == f)
         thr = np.unique(forest.values[mask]) if mask.any() else np.empty(0, np.float32)
         tables.append(thr.astype(np.float32))
 

@@ -93,3 +93,30 @@ def susy_class_forest(seed: int = 0) -> ForestSpec:
     S_sample=18 features; constructor defaults depth 8 / 500 trees,
     BaseTahoeTest.h:49)."""
     return generate_forest(500, 8, 18, seed=seed)
+
+
+def generate_mixed_depth_forest(
+    num_trees: int,
+    depth: int,
+    num_cols: int,
+    *,
+    min_depth: int | None = None,
+    leaf_prob: float = 0.05,
+    missing: float = float("nan"),
+    seed: int = 42,
+) -> ForestSpec:
+    """Trained-ensemble shape: per-tree effective depth sampled uniformly in
+    [min_depth, depth], all trees STORED complete at ``depth`` (the reference
+    loader materializes complete trees regardless of real leaf placement,
+    BaseTahoeTest.h:282-331). The showcase for depth truncation and the
+    depth-bucketed strategy."""
+    rng = np.random.default_rng(seed)
+    f = generate_forest(num_trees, depth, num_cols, leaf_prob=leaf_prob,
+                        missing=missing, seed=seed)
+    lo = max(1, min_depth if min_depth is not None else depth // 2)
+    per_tree = rng.integers(lo, depth + 1, size=num_trees)
+    for t in range(num_trees):
+        d = int(per_tree[t])
+        if d < depth:
+            f.is_leaf[t, f.level_slice(d).start :] = True
+    return f

@@ -333,6 +333,14 @@ class RankFoldEngine:
             raise NotImplementedError(
                 f"rank-MXU kernel supports <= {RANK_MAX_COLS} features"
             )
+        # drop unreachable filler levels before quantization (complete-tree
+        # storage; see compiler.reachable_depths) — shrinks matrices AND
+        # threshold tables
+        from tahoe_tpu.forest.compiler import reachable_depths, truncate_depth
+
+        forest = truncate_depth(
+            forest, int(reachable_depths(forest).max(initial=0))
+        )
         self.q: RankQuantizedForest = quantize(forest)
         self._raw_missing = forest.missing
         # features with more distinct thresholds than the plane encoding's

@@ -102,6 +102,28 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
                                 + sum(k_per_f) * 0.7e-12)
         return CostBreakdown(compute + transform, 0.0, dispatch)
 
+    if strategy == Strategy.DEPTH_BUCKETED:
+        from tahoe_tpu.forest.compiler import reachable_depths
+        from tahoe_tpu.ops.bucketed import plan_buckets
+
+        depths = reachable_depths(forest)
+        buckets = plan_buckets(depths)
+        nodes = sum(
+            max(len(idx), 8) * (1 << int(depths[idx].max(initial=0)))
+            for idx in buckets
+        )
+        compute = rows * nodes * cal.fold_node_ns / 1e9
+        row_tile, _ = feasibility.default_tiles(Strategy.SPLIT_FOREST, forest)
+        passes = max(1.0, rows / row_tile)
+        # each bucket streams its own (truncated) tables
+        tbytes = sum(
+            len(idx) * (tree_num_nodes(int(depths[idx].max(initial=0))) * 8
+                        + (1 << int(depths[idx].max(initial=0))) * 4)
+            for idx in buckets
+        )
+        memory = passes * tbytes / (cal.hbm_gbps * 1e9)
+        return CostBreakdown(compute, memory, dispatch * len(buckets))
+
     # fused fold kernel strategies
     row_tile, tree_tile = feasibility.default_tiles(strategy, forest)
     compute = rows * nodes_per_row * cal.fold_node_ns / 1e9

@@ -127,3 +127,67 @@ def test_full_pipeline_parity(forest, data):
     np.testing.assert_allclose(
         oracle.predict(restored, data), oracle.predict(forest, data), atol=1e-5
     )
+
+
+# ----------------------------------------------------------------------
+# Unreachable-depth truncation (complete-tree filler removal)
+# ----------------------------------------------------------------------
+
+def _padded_forest(depth_real=3, depth_stored=6, trees=12, cols=6, seed=9):
+    """A forest whose every path ends by depth_real, stored at depth_stored
+    (the reference's complete-tree materialization, BaseTahoeTest.h:282-331):
+    levels >= depth_real are unreachable filler."""
+    from tahoe_tpu.config import tree_num_nodes
+
+    f = synthetic.generate_forest(trees, depth_stored, cols, leaf_prob=0.2,
+                                  seed=seed)
+    lev = f.level_slice(depth_real)
+    f.is_leaf[:, lev.start:] = True  # everything at/below depth_real is leaf
+    f.is_leaf[:, : lev.start] &= f.is_leaf[:, : lev.start]  # keep early leaves
+    assert f.values.shape[1] == tree_num_nodes(depth_stored)
+    return f
+
+
+def test_reachable_depths_and_truncate_exact():
+    f = _padded_forest()
+    depths = compiler.reachable_depths(f)
+    assert depths.max() == 3
+    t = compiler.truncate_depth(f, 3)
+    assert t.depth == 3
+    data = synthetic.generate_data(200, 6, missing_prob=0.1, seed=10)
+    np.testing.assert_allclose(
+        oracle.predict(t, data), oracle.predict(f, data), atol=0
+    )
+
+
+def test_levelize_truncates_filler_levels():
+    f = _padded_forest()
+    lev = compiler.levelize(f)
+    assert lev.depth == 3
+    lev_full = compiler.levelize(f, truncate=False)
+    assert lev_full.depth == 6
+
+
+def test_facade_truncates_and_matches_oracle():
+    from tahoe_tpu.config import Strategy
+    from tahoe_tpu.engine.forest import Forest
+
+    f = _padded_forest(depth_real=4, depth_stored=7, trees=20, cols=8, seed=11)
+    data = synthetic.generate_data(64, 8, missing_prob=0.1, seed=12)
+    fr = Forest(f)
+    assert fr.spec.depth == 4 and fr.stored_depth == 7
+    want = oracle.predict(f, data)
+    for s in (Strategy.SPLIT_FOREST, Strategy.RANK_MXU):
+        got = np.asarray(fr.predict(data, s))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_quantize_skips_unreachable_thresholds():
+    from tahoe_tpu.forest import quantize as qz
+
+    f = _padded_forest()
+    q = qz.quantize(f)
+    live = compiler.reachable_mask(f) & ~f.is_leaf
+    expect = [np.unique(f.values[live & (f.fids == c)]).size
+              for c in range(f.num_cols)]
+    assert [len(t) for t in q.tables] == expect
