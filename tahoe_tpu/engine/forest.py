@@ -110,12 +110,12 @@ class Forest:
                 limits=TpuLimits(vmem_fraction=1.2),
             )
         elif strategy == Strategy.DEPTH_BUCKETED:
-            from tahoe_tpu.ops.bucketed import DepthBucketedFoldEngine
+            from tahoe_tpu.ops.bucketed import make_depth_bucketed_engine
 
             drt, dtt = feasibility.default_tiles(
                 Strategy.SPLIT_FOREST, self.spec, self.limits
             )
-            eng = DepthBucketedFoldEngine(
+            eng = make_depth_bucketed_engine(
                 self.spec,
                 row_tile=row_tile or drt,
                 tree_tile=tree_tile or dtt,

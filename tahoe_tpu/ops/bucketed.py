@@ -187,3 +187,121 @@ class DepthBucketedFoldEngine:
     def bucket_plan(self) -> List[Tuple[int, int]]:
         """[(num_trees, depth)] per non-stump bucket, for reporting."""
         return [(e.num_trees, e.depth) for e in self.sub]
+
+
+class DepthBucketedRankEngine:
+    """Depth buckets over the int8 rank-MXU kernel: ONE quantization + ONE
+    per-batch plane transform shared by every bucket; each bucket's matrices
+    are built at its own truncated depth (deep buckets auto-stream subtrees
+    via the rank kernel's split mode). The combination of the framework's two
+    native strategies (#6 x #7)."""
+
+    def __init__(self, spec: ForestSpec, *, row_tile: int = 128,
+                 tree_tile: int = 8, max_buckets: int = 4,
+                 interpret: bool = False, limits: TpuLimits = TpuLimits()):
+        from tahoe_tpu.forest.quantize import band_split, quantize
+        from tahoe_tpu.ops.rank_kernel import RankFoldEngine
+
+        d_eff = int(reachable_depths(spec).max(initial=0))
+        spec_t = truncate_depth(spec, d_eff)
+        self.num_trees = spec.num_trees
+        self.num_cols = spec.num_cols
+        self.output = spec.output
+        self.global_bias = spec.global_bias
+        self.threshold = spec.threshold
+        self.row_tile = row_tile
+
+        q = quantize(spec_t)
+        q, vf_base = band_split(q)
+        depths = reachable_depths(spec_t)
+        self.buckets = plan_buckets(depths, max_buckets=max_buckets)
+        self.sub: List[RankFoldEngine] = []
+        stumps_margin = 0.0
+        for idx in self.buckets:
+            d_b = int(depths[idx].max(initial=0))
+            sub_q = truncate_depth(subset_trees(q.spec, idx), d_b)
+            if d_b == 0:
+                stumps_margin += float(sub_q.values[:, 0].sum())
+                continue
+            import dataclasses as _dc
+
+            bucket_q = _dc.replace(q, spec=sub_q)
+            eng = RankFoldEngine(
+                sub_q, row_tile=row_tile, tree_tile=tree_tile,
+                interpret=interpret, limits=limits,
+                prequantized=(bucket_q, vf_base, spec.missing),
+            )
+            self.sub.append(eng)
+        self.stumps_margin = stumps_margin
+        if not self.sub:
+            raise ValueError("rank bucketing needs at least one non-stump bucket")
+        # the transform tables are identical across buckets (shared
+        # quantization) — keep one copy
+        self.rank_tables = self.sub[0].rank_tables
+        self.tables = tuple(e.tables for e in self.sub)
+        self._predict = jax.jit(self._predict_impl)
+        self._predict_k = jax.jit(self._chain_impl, static_argnames=("k",))
+
+    # ------------------------------------------------------------------
+    def _predict_impl(self, tables, rank_tables, data):
+        from tahoe_tpu.ops.rank_kernel import rank_fold_margins
+
+        rows = data.shape[0]
+        planes = self.sub[0]._transform(rank_tables, data)  # row_tile-padded
+        margins = None
+        for eng, tab in zip(self.sub, tables):
+            m = rank_fold_margins(eng.cfg, tab, planes)
+            margins = m if margins is None else margins + m
+        margins = margins[:rows] + jnp.float32(self.stumps_margin)
+        return apply_output_transform(
+            margins, self.num_trees, self.output, self.global_bias,
+            self.threshold, jnp,
+        )
+
+    def _chain_impl(self, tables, rank_tables, data, k):
+        def body(_, acc):
+            return self._predict_impl(tables, rank_tables, data + acc[0] * 0.0)
+
+        return jax.lax.fori_loop(
+            0, k, body, jnp.zeros(data.shape[0], jnp.float32)
+        )
+
+    # ------------------------------------------------------------------
+    def predict(self, data) -> jax.Array:
+        return self._predict(self.tables, self.rank_tables, jnp.asarray(data))
+
+    def predict_k(self, data, k: int) -> jax.Array:
+        return self._predict_k(self.tables, self.rank_tables,
+                               jnp.asarray(data), k=k)
+
+    @property
+    def bucket_plan(self) -> List[Tuple[int, int]]:
+        return [(e.num_trees, e.depth) for e in self.sub]
+
+
+def make_depth_bucketed_engine(spec: ForestSpec, *, row_tile: int = 128,
+                               tree_tile: int = 64, interpret: bool = False,
+                               limits: TpuLimits = TpuLimits()):
+    """DEPTH_BUCKETED engine chooser: int8 rank sub-engines when the rank
+    form is feasible and predicted faster (one or two plane groups — the
+    calibrated per-node cost crosses over at G=3, perf_model/model.py),
+    else f32 fold sub-engines."""
+    from tahoe_tpu.engine.feasibility import rank_virtual_cols
+    from tahoe_tpu.forest.compiler import RANK_MAX_COLS, rank_groups
+
+    use_rank = False
+    if spec.num_cols <= RANK_MAX_COLS:
+        vcols = rank_virtual_cols(spec)
+        use_rank = vcols <= RANK_MAX_COLS and rank_groups(vcols) <= 2
+    if use_rank:
+        try:
+            return DepthBucketedRankEngine(
+                spec, row_tile=row_tile, tree_tile=min(tree_tile, 8),
+                interpret=interpret, limits=limits,
+            )
+        except (ValueError, NotImplementedError):
+            pass  # fall back to the fold form
+    return DepthBucketedFoldEngine(
+        spec, row_tile=row_tile, tree_tile=tree_tile,
+        interpret=interpret, limits=limits,
+    )

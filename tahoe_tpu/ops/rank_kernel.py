@@ -103,12 +103,21 @@ def _make_kernel(cfg: RankFoldConfig):
                         leaf_ref[:, n + c * CH : n + (c + 1) * CH],
                         (Rt, CH),
                     )
+                elif w is None and n >= LANE:
+                    # direct ref slices (128-aligned offsets): slicing the
+                    # broadcast VALUE instead lets XLA rewrite it into a
+                    # broadcast of an offset-layout slice, which Mosaic's
+                    # vector.broadcast rejects ("Invalid input layout")
+                    lo = jnp.broadcast_to(leaf_ref[:, :n], (Rt, n))
+                    hi = jnp.broadcast_to(leaf_ref[:, n : 2 * n], (Rt, n))
                 elif w is None:
-                    chunk = jnp.broadcast_to(
-                        leaf_ref[:, : 2 * max(n, LANE // 2)], (Rt, 2 * max(n, LANE // 2))
-                    )
-                    lo, hi = chunk[:, :n], chunk[:, n : 2 * n]
-                    cnd = cnd[:, :n]
+                    # sub-128-lane first fold: the leaf table stores the two
+                    # halves in separate 128-lane slots (_build_tables) so
+                    # both loads stay lane-aligned; select at full 128 width
+                    # (lanes >= n are pad, dropped by later slices/final sum)
+                    lo = jnp.broadcast_to(leaf_ref[:, :LANE], (Rt, LANE))
+                    hi = jnp.broadcast_to(leaf_ref[:, LANE : 2 * LANE],
+                                          (Rt, LANE))
                 elif n >= CH:
                     lo, hi = w[c], w[c + n_chunks]
                 else:
@@ -328,25 +337,35 @@ class RankFoldEngine:
     def __init__(self, forest: ForestSpec, *, row_tile: int = 256,
                  tree_tile: int = 64, interpret: bool = False,
                  split_level: int | None = None, band: int | None = None,
-                 limits: TpuLimits = TpuLimits()):
+                 prequantized=None, limits: TpuLimits = TpuLimits()):
         if forest.num_cols > RANK_MAX_COLS:
             raise NotImplementedError(
                 f"rank-MXU kernel supports <= {RANK_MAX_COLS} features"
             )
-        # drop unreachable filler levels before quantization (complete-tree
-        # storage; see compiler.reachable_depths) — shrinks matrices AND
-        # threshold tables
-        from tahoe_tpu.forest.compiler import reachable_depths, truncate_depth
-
-        forest = truncate_depth(
-            forest, int(reachable_depths(forest).max(initial=0))
-        )
-        self.q: RankQuantizedForest = quantize(forest)
         self._raw_missing = forest.missing
-        # features with more distinct thresholds than the plane encoding's
-        # rank cap split into banded virtual features (quantize.band_split);
-        # rows expand by a column gather in _canonicalize
-        self.q, self._vf_base = band_split(self.q, band)
+        if prequantized is not None:
+            # (RankQuantizedForest, vf_base, raw_missing) from a caller that
+            # quantized a larger forest once and is handing us a tree subset
+            # (depth-bucketed rank execution shares one transform)
+            self.q, self._vf_base, self._raw_missing = prequantized
+        else:
+            # drop unreachable filler levels before quantization
+            # (complete-tree storage; see compiler.reachable_depths) —
+            # shrinks matrices AND threshold tables
+            from tahoe_tpu.forest.compiler import (
+                reachable_depths,
+                truncate_depth,
+            )
+
+            forest = truncate_depth(
+                forest, int(reachable_depths(forest).max(initial=0))
+            )
+            self.q = quantize(forest)
+            # features with more distinct thresholds than the plane
+            # encoding's rank cap split into banded virtual features
+            # (quantize.band_split); rows expand by a column gather in
+            # _canonicalize
+            self.q, self._vf_base = band_split(self.q, band)
         if self.q.spec.num_cols > RANK_MAX_COLS:
             raise NotImplementedError(
                 f"banded forest needs {self.q.spec.num_cols} virtual "
@@ -514,6 +533,15 @@ class RankFoldEngine:
             n = a.shape[1]
             t = np.ascontiguousarray(a.reshape(Tp // TR, TR, n).transpose(0, 2, 1))
             t = t.reshape(Tp // TR, n * TR)
+            if D >= 1 and n * TR < 2 * LANE:
+                # sub-128-lane first fold: store the lo/hi leaf halves in
+                # separate 128-lane slots so the kernel's first-fold loads
+                # stay lane-aligned (see _make_kernel's ``w is None`` branch)
+                half = n * TR // 2
+                padb = np.full((Tp // TR, LANE - half), fill, dtype=a.dtype)
+                t = np.concatenate([t[:, :half], padb, t[:, half:], padb],
+                                   axis=1)
+                return t.reshape(1, -1)
             seg = _round_up(n * TR, LANE)
             if seg != n * TR:
                 padb = np.full((Tp // TR, seg - n * TR), fill, dtype=a.dtype)
@@ -532,7 +560,10 @@ class RankFoldEngine:
             self.tables = (*tabs, jnp.asarray(tile_subtree_leaf(leaf_p)))
         else:
             self.seg = [_round_up((1 << d) * TR, LANE) for d in range(D)]
-            self.leaf_seg = _round_up((1 << D) * TR, LANE)
+            if D >= 1 and (1 << D) * TR < 2 * LANE:
+                self.leaf_seg = 2 * LANE  # split-halves layout, see below
+            else:
+                self.leaf_seg = _round_up((1 << D) * TR, LANE)
             tabs = [jnp.asarray(tile_node_major_mat(pad_trees_mat(m)))
                     for m in mats]
             self.tables = (*tabs,

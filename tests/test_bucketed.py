@@ -82,6 +82,55 @@ def test_bucketed_facade_and_feasibility():
     assert "uniform" in Forest(uniform).feasible(Strategy.DEPTH_BUCKETED)
 
 
+@pytest.mark.parametrize("missing_prob", [0.0, 0.15])
+def test_bucketed_rank_matches_oracle(missing_prob):
+    """Rank sub-engines under depth bucketing (strategy #6 x #7): one shared
+    quantization/transform, per-bucket truncated matrices — still exact."""
+    from tahoe_tpu.ops.bucketed import DepthBucketedRankEngine
+
+    f = _mixed_depth_forest()
+    data = synthetic.generate_data(70, f.num_cols, missing_prob=missing_prob,
+                                   seed=17)
+    eng = DepthBucketedRankEngine(f, row_tile=32, tree_tile=8, interpret=True)
+    assert len(eng.sub) >= 2  # genuinely bucketed
+    got = np.asarray(eng.predict(data))
+    np.testing.assert_allclose(got, oracle.predict(f, data), atol=1e-5)
+
+
+def test_bucketed_rank_with_stump_bucket():
+    from tahoe_tpu.ops.bucketed import DepthBucketedRankEngine
+
+    f = _mixed_depth_forest(seed=13)
+    f.is_leaf[0, :] = True  # tree 0 is a stump -> constant-margin bucket
+    data = synthetic.generate_data(40, f.num_cols, seed=14)
+    eng = DepthBucketedRankEngine(f, row_tile=32, tree_tile=8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(eng.predict(data)), oracle.predict(f, data), atol=1e-5
+    )
+
+
+def test_make_depth_bucketed_engine_chooses_rank_vs_fold():
+    from tahoe_tpu.ops.bucketed import (
+        DepthBucketedFoldEngine,
+        DepthBucketedRankEngine,
+        make_depth_bucketed_engine,
+    )
+
+    few_cols = _mixed_depth_forest()  # 9 features -> rank form, 1 group
+    eng = make_depth_bucketed_engine(few_cols, row_tile=32, interpret=True)
+    assert isinstance(eng, DepthBucketedRankEngine)
+
+    many_cols = _mixed_depth_forest(cols=125, seed=21)  # > RANK_MAX_COLS
+    eng2 = make_depth_bucketed_engine(many_cols, row_tile=32, interpret=True)
+    assert isinstance(eng2, DepthBucketedFoldEngine)
+
+    data = synthetic.generate_data(40, few_cols.num_cols, seed=22)
+    np.testing.assert_allclose(
+        np.asarray(eng.predict(data)), oracle.predict(few_cols, data),
+        atol=1e-5,
+    )
+
+
 def test_bucketed_with_early_leaf_stumps():
     """Depth-0 trees (root is a leaf) fold to a compile-time constant."""
     f = _mixed_depth_forest(seed=11)
