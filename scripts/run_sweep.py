@@ -61,6 +61,8 @@ SHAPES = [
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="3 shapes, few epochs")
+    p.add_argument("--only", default=None,
+                   help="comma-separated family names to run (subset of SHAPES)")
     p.add_argument("--data-dir", default=None,
                    help="directory with model_*.txt/data_*.txt pairs to sweep")
     p.add_argument("--out", default="sweep_results.jsonl")
@@ -80,6 +82,9 @@ def main() -> int:
                 cases.append(("file", mp, dp))
     else:
         shapes = SHAPES[:3] if args.quick else SHAPES
+        if args.only:
+            keep = set(args.only.split(","))
+            shapes = [s for s in shapes if s[0] in keep]
         for name, trees, depth, cols, rows, mp in shapes:
             cases.append(("synthetic", name, (trees, depth, cols, rows, mp)))
 
@@ -132,6 +137,10 @@ def main() -> int:
             "strategies": {
                 s.name: (None if not r.ran else round(r.us_per_sample, 6))
                 for s, r in res.items()
+            },
+            "not_run": {
+                s.name: (r.skipped_reason or r.error)
+                for s, r in res.items() if not r.ran
             },
             "wall_s": round(time.perf_counter() - t0, 1),
         }

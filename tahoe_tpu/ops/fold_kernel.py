@@ -558,6 +558,8 @@ def fold_margins(cfg: FoldConfig, tables, x_pad):
     out_spec = pl.BlockSpec((Rt, 1), lambda r, t: (r, 0),
                             memory_space=pltpu.VMEM)
 
+    from tahoe_tpu.ops.mosaic import compile_kwargs
+
     margins = pl.pallas_call(
         _make_kernel(cfg),
         grid=grid,
@@ -565,6 +567,7 @@ def fold_margins(cfg: FoldConfig, tables, x_pad):
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
         interpret=cfg.interpret,
+        **compile_kwargs(cfg.interpret),
     )(x_pad, *tables)
     return margins[:, 0]
 

@@ -291,6 +291,8 @@ def rank_fold_margins(cfg: RankFoldConfig, tables, planes_pad):
                                   memory_space=pltpu.VMEM)]
         out_spec = pl.BlockSpec((Rt, 1), lambda r, t, s: (r, 0),
                                 memory_space=pltpu.VMEM)
+        from tahoe_tpu.ops.mosaic import compile_kwargs
+
         margins = pl.pallas_call(
             _make_kernel(cfg),
             grid=grid,
@@ -299,6 +301,7 @@ def rank_fold_margins(cfg: RankFoldConfig, tables, planes_pad):
             out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
             scratch_shapes=[pltpu.VMEM((SG, Rt, LANE), jnp.float32)],
             interpret=cfg.interpret,
+            **compile_kwargs(cfg.interpret),
         )(planes_pad, *tables)
         return margins[:, 0]
 
@@ -314,6 +317,8 @@ def rank_fold_margins(cfg: RankFoldConfig, tables, planes_pad):
     out_spec = pl.BlockSpec((Rt, 1), lambda r, t: (r, 0),
                             memory_space=pltpu.VMEM)
 
+    from tahoe_tpu.ops.mosaic import compile_kwargs
+
     margins = pl.pallas_call(
         _make_kernel(cfg),
         grid=grid,
@@ -321,6 +326,7 @@ def rank_fold_margins(cfg: RankFoldConfig, tables, planes_pad):
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
         interpret=cfg.interpret,
+        **compile_kwargs(cfg.interpret),
     )(planes_pad, *tables)
     return margins[:, 0]
 

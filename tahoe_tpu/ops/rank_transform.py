@@ -27,6 +27,7 @@ from tahoe_tpu.forest.compiler import (
     rank_groups,
 )
 from tahoe_tpu.ops.fold_kernel import LANE, _round_up
+from tahoe_tpu.ops.mosaic import compile_kwargs
 
 
 def _assemble_planes(q, nan_mask, F: int, row_tile: int):
@@ -113,6 +114,7 @@ def rank_planes_kernel(x_canon, u_pad, *, row_tile: int = 256,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, LANE * G), jnp.int32),
         interpret=interpret,
+        **compile_kwargs(interpret),
     )(x_canon, u_pad)
     return out32.astype(jnp.int8)
 
@@ -374,6 +376,7 @@ def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, paired: bool, *,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rows, LANE * G), jnp.int32),
             interpret=interpret,
+            **compile_kwargs(interpret),
         )(xg, cmax.reshape(G, FC, LANE), digs, _qw_weights(Sp, paired))
         return out32.astype(jnp.int8)
 
@@ -394,6 +397,7 @@ def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, paired: bool, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, LANE * G), jnp.int32),
         interpret=interpret,
+        **compile_kwargs(interpret),
     )(x_canon, cmax, digs, _qw_weights(Sp, paired))
     return out32.astype(jnp.int8)
 
