@@ -151,8 +151,10 @@ def rank_default_tiles(forest: ForestSpec, limits: TpuLimits = TpuLimits()):
 
     g = rank_groups(rank_virtual_cols(forest))
     budget = limits.usable_vmem * 1.5
-    for rt, tt in [(128, 64), (128, 32), (64, 32), (256, 16), (128, 16),
-                   (64, 16), (128, 8), (64, 8)]:
+    # (256, 128) measured best on v5e SUSY-class under the tree-outer grid
+    # (0.145 us/sample vs 0.190 at the old (128, 64) rows-outer default)
+    for rt, tt in [(256, 128), (128, 128), (128, 64), (128, 32), (64, 32),
+                   (256, 16), (128, 16), (64, 16), (128, 8), (64, 8)]:
         tt2 = 1 << (min(tt, max(8, forest.num_trees)) - 1).bit_length()
         if RankFoldEngine.vmem_bytes(forest.depth, rt, tt2, g, 0) <= budget:
             return rt, tt2

@@ -99,15 +99,19 @@ class Forest:
             eng = GatherEngine(self.compiled)
         elif strategy == Strategy.RANK_MXU:
             from tahoe_tpu.config import TpuLimits
+            from tahoe_tpu.ops.mosaic import VMEM_LIMIT_BYTES
             from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 
-            drt, dtt = feasibility.rank_default_tiles(self.spec, self.limits)
+            # budget tracks the raised Mosaic scoped-VMEM cap (ops/mosaic.py)
+            rank_limits = TpuLimits(vmem_bytes=VMEM_LIMIT_BYTES,
+                                    vmem_fraction=0.95)
+            drt, dtt = feasibility.rank_default_tiles(self.spec, rank_limits)
             eng = RankFoldEngine(
                 self.spec,
                 row_tile=row_tile or drt or 128,
                 tree_tile=tree_tile or dtt or 64,
                 interpret=interpret,
-                limits=TpuLimits(vmem_fraction=1.2),
+                limits=rank_limits,
             )
         elif strategy == Strategy.DEPTH_BUCKETED:
             from tahoe_tpu.ops.bucketed import make_depth_bucketed_engine

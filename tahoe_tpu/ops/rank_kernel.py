@@ -62,6 +62,17 @@ class RankFoldConfig(NamedTuple):
     # scratch write stay 128-lane aligned. Root values accumulate in VMEM
     # scratch; the last group folds the top levels. 0 = whole-level fold.
     split_level: int = 0
+    # issue each level's condition matmuls one level ahead of its selects
+    # (MXU/VPU overlap experiment; see _make_kernel)
+    cond_lead: bool = False
+    # tree-OUTER grid (non-split mode): grid = (tree tiles, row tiles) with
+    # rows innermost, so each tree tile's matrices stream into VMEM ONCE per
+    # predict instead of once per row tile (the dominant HBM traffic for
+    # multi-tile forests); each step writes a partial-margin column of a
+    # [rows, tree_tiles] slab, summed by XLA afterwards (the cross-tile
+    # psum-on-chip analog of the reference's DeviceSegmentedReduce,
+    # Struct.h:655-659)
+    tree_outer: bool = False
 
 
 def _make_kernel(cfg: RankFoldConfig):
@@ -87,14 +98,28 @@ def _make_kernel(cfg: RankFoldConfig):
             )
             return diff >= 0
 
+        def level_conds(d):
+            n = (1 << d) * TR
+            width = min(CH, max(n, LANE))
+            return [cond_chunk(d, c * CH, width)
+                    for c in range(_cdiv(n, CH))]
+
+        # cond_lead: issue the NEXT level's condition matmuls (MXU) before
+        # this level's select chain (VPU) so Mosaic can overlap the units —
+        # the conds depend only on planes x matrices, never on w
+        cnds = level_conds(D - 1) if (cfg.cond_lead and D) else None
         w = None
         for d in range(D - 1, -1, -1):
             n = (1 << d) * TR
             n_chunks = _cdiv(n, CH)
             width = min(CH, max(n, LANE))
+            if cfg.cond_lead:
+                this_cnds = cnds
+                cnds = level_conds(d - 1) if d > 0 else None
             new_w = []
             for c in range(n_chunks):
-                cnd = cond_chunk(d, c * CH, width)
+                cnd = this_cnds[c] if cfg.cond_lead else cond_chunk(
+                    d, c * CH, width)
                 if w is None and n >= CH:
                     lo = jnp.broadcast_to(
                         leaf_ref[:, c * CH : (c + 1) * CH], (Rt, CH)
@@ -135,6 +160,10 @@ def _make_kernel(cfg: RankFoldConfig):
                 partial = partial + jnp.sum(w[c], axis=1, keepdims=True)
         else:
             partial = jnp.sum(wv, axis=1, keepdims=True)
+
+        if cfg.tree_outer:
+            out_ref[0] = partial  # own [1, Rt, 1] slab of the partials array
+            return
 
         t = pl.program_id(1)
 
@@ -305,7 +334,39 @@ def rank_fold_margins(cfg: RankFoldConfig, tables, planes_pad):
         )(planes_pad, *tables)
         return margins[:, 0]
 
-    grid = (rows // Rt, cfg.padded_trees // cfg.tree_tile)
+    from tahoe_tpu.ops.mosaic import compile_kwargs
+
+    n_tiles = cfg.padded_trees // cfg.tree_tile
+    if cfg.tree_outer:
+        # trees outer, rows inner: each tree tile's matrices load once and
+        # stay VMEM-resident while every row tile revolves through; partial
+        # margins land in a [rows, n_tiles] slab (one column per tile,
+        # written exactly once), reduced outside the kernel
+        grid = (n_tiles, rows // Rt)
+        in_specs = [pl.BlockSpec((Rt, LANE * G), lambda t, r: (r, 0),
+                                 memory_space=pltpu.VMEM)]
+        for d in range(cfg.depth):
+            in_specs += [pl.BlockSpec((LANE * G, cfg.seg[d]),
+                                      lambda t, r: (0, t),
+                                      memory_space=pltpu.VMEM)]
+        in_specs += [pl.BlockSpec((1, cfg.leaf_seg), lambda t, r: (0, t),
+                                  memory_space=pltpu.VMEM)]
+        # 3-D partials so the block's last-two dims are (Rt, 1) — Pallas
+        # requires the minor block dim be 128-divisible or span the array
+        out_spec = pl.BlockSpec((1, Rt, 1), lambda t, r: (t, r, 0),
+                                memory_space=pltpu.VMEM)
+        partials = pl.pallas_call(
+            _make_kernel(cfg),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n_tiles, rows, 1), jnp.float32),
+            interpret=cfg.interpret,
+            **compile_kwargs(cfg.interpret),
+        )(planes_pad, *tables)
+        return jnp.sum(partials[:, :, 0], axis=0)
+
+    grid = (rows // Rt, n_tiles)
 
     in_specs = [pl.BlockSpec((Rt, LANE * G), lambda r, t: (r, 0),
                              memory_space=pltpu.VMEM)]
@@ -316,8 +377,6 @@ def rank_fold_margins(cfg: RankFoldConfig, tables, planes_pad):
                               memory_space=pltpu.VMEM)]
     out_spec = pl.BlockSpec((Rt, 1), lambda r, t: (r, 0),
                             memory_space=pltpu.VMEM)
-
-    from tahoe_tpu.ops.mosaic import compile_kwargs
 
     margins = pl.pallas_call(
         _make_kernel(cfg),
@@ -343,7 +402,9 @@ class RankFoldEngine:
     def __init__(self, forest: ForestSpec, *, row_tile: int = 256,
                  tree_tile: int = 64, interpret: bool = False,
                  split_level: int | None = None, band: int | None = None,
-                 prequantized=None, limits: TpuLimits = TpuLimits()):
+                 prequantized=None, cond_lead: bool = False,
+                 tree_outer: bool | None = None, col_chunk: int | None = None,
+                 limits: TpuLimits = TpuLimits()):
         if forest.num_cols > RANK_MAX_COLS:
             raise NotImplementedError(
                 f"rank-MXU kernel supports <= {RANK_MAX_COLS} features"
@@ -390,6 +451,8 @@ class RankFoldEngine:
         tt = min(tree_tile, max(lev.num_trees, 8))
         self.tree_tile = 1 << (tt - 1).bit_length()
         self.interpret = interpret
+        self.cond_lead = cond_lead
+        self.tree_outer = tree_outer
         from tahoe_tpu.forest.compiler import rank_groups
 
         self.groups = rank_groups(lev.num_cols)
@@ -413,6 +476,10 @@ class RankFoldEngine:
                 f"tree_tile {self.tree_tile}"
             )
         self.split_level = split_level
+        # wider matmul chunks measured best for the whole-level fold (1024 on
+        # v5e); the subtree-split kernel keeps the narrower proven default
+        self.col_chunk = col_chunk if col_chunk is not None else (
+            1024 if split_level == 0 else 512)
 
         need = self.vmem_bytes(lev.depth, row_tile, self.tree_tile,
                                self.groups, split_level)
@@ -595,7 +662,10 @@ class RankFoldEngine:
             depth=D, row_tile=self.row_tile, tree_tile=TR, padded_trees=Tp,
             seg=tuple(self.seg), leaf_seg=self.leaf_seg,
             interpret=self.interpret, groups=self.groups,
-            split_level=self.split_level,
+            split_level=self.split_level, cond_lead=self.cond_lead,
+            col_chunk=self.col_chunk,
+            tree_outer=(self.tree_outer if self.tree_outer is not None
+                        else self.split_level == 0),
         )
 
     # ------------------------------------------------------------------
