@@ -76,6 +76,11 @@ class FoldConfig(NamedTuple):
     # TPU rendition of streaming tree chunks through fast memory that the
     # reference's SPLIT_FOREST realizes with smem chunks (Struct.h:1414-1606).
     split_level: int = 0
+    # tree-OUTER grid: (tree tiles, row tiles) with rows innermost so each
+    # tree tile's node tables stream into VMEM once per predict instead of
+    # once per row tile; partial margins land in a [tiles, rows, 1] slab
+    # summed by XLA (see rank_kernel.RankFoldConfig.tree_outer)
+    tree_outer: bool = False
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -307,7 +312,7 @@ class FoldKernelEngine:
             depth=D, row_tile=self.row_tile, tree_tile=TR, padded_trees=Tp,
             seg=tuple(self.seg), leaf_seg=self.leaf_seg,
             interpret=self.interpret, ge=self.ge_mode,
-            split_level=self.split_level,
+            split_level=self.split_level, tree_outer=True,
         )
 
     # ------------------------------------------------------------------
@@ -521,6 +526,10 @@ def _make_kernel(cfg: FoldConfig):
 
             partial = jnp.sum(w, axis=1, keepdims=True)  # [Rt, 1]
 
+        if cfg.tree_outer:
+            out_ref[0] = partial  # own [1, Rt, 1] slab of the partials array
+            return
+
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -543,11 +552,39 @@ def fold_margins(cfg: FoldConfig, tables, x_pad):
     D = cfg.depth
     Rt = cfg.row_tile
     rows = x_pad.shape[0]
-    grid = (rows // Rt, cfg.padded_trees // cfg.tree_tile)
+    n_tiles = cfg.padded_trees // cfg.tree_tile
+    n_table_groups = 2 if cfg.ge else 4  # (thresh, fid[, sel, flip])
+
+    from tahoe_tpu.ops.mosaic import compile_kwargs
+
+    if cfg.tree_outer:
+        grid = (n_tiles, rows // Rt)
+        in_specs = [pl.BlockSpec((Rt, LANE), lambda t, r: (r, 0),
+                                 memory_space=pltpu.VMEM)]
+        for _ in range(n_table_groups):
+            for d in range(D):
+                in_specs += [pl.BlockSpec((1, cfg.seg[d]),
+                                          lambda t, r: (0, t),
+                                          memory_space=pltpu.VMEM)]
+        in_specs += [pl.BlockSpec((1, cfg.leaf_seg), lambda t, r: (0, t),
+                                  memory_space=pltpu.VMEM)]
+        out_spec = pl.BlockSpec((1, Rt, 1), lambda t, r: (t, r, 0),
+                                memory_space=pltpu.VMEM)
+        partials = pl.pallas_call(
+            _make_kernel(cfg),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n_tiles, rows, 1), jnp.float32),
+            interpret=cfg.interpret,
+            **compile_kwargs(cfg.interpret),
+        )(x_pad, *tables)
+        return jnp.sum(partials[:, :, 0], axis=0)
+
+    grid = (rows // Rt, n_tiles)
 
     in_specs = [pl.BlockSpec((Rt, LANE), lambda r, t: (r, 0),
                              memory_space=pltpu.VMEM)]
-    n_table_groups = 2 if cfg.ge else 4  # (thresh, fid[, sel, flip])
     for _ in range(n_table_groups):
         for d in range(D):
             in_specs += [pl.BlockSpec((1, cfg.seg[d]), lambda r, t: (0, t),
@@ -557,8 +594,6 @@ def fold_margins(cfg: FoldConfig, tables, x_pad):
 
     out_spec = pl.BlockSpec((Rt, 1), lambda r, t: (r, 0),
                             memory_space=pltpu.VMEM)
-
-    from tahoe_tpu.ops.mosaic import compile_kwargs
 
     margins = pl.pallas_call(
         _make_kernel(cfg),
