@@ -92,9 +92,11 @@ def main() -> int:
     err = float(np.abs(np.asarray(preds) - want).max())
 
     # --- secondary: int8 rank-MXU engine ------------------------------------
+    # (256, 128) whole-level tree-outer measured best on v5e
+    # (scripts/ls0_sweep.sh: 0.145 full / 0.134 plane-resident us/sample)
     rank = RankFoldEngine(
-        forest, row_tile=128, tree_tile=64, interpret=interpret,
-        limits=TpuLimits(vmem_fraction=1.2),
+        forest, row_tile=256, tree_tile=128, interpret=interpret,
+        limits=TpuLimits(),
     )
     t_rank_full = slope(lambda k: rank.predict_k(data_d, k), k1, k2)
     us_rank_full = t_rank_full * 1e6 / args.rows

@@ -176,10 +176,17 @@ class PredictConfig:
 @dataclasses.dataclass(frozen=True)
 class TpuLimits:
     """Hardware feasibility budget — the VMEM analog of the reference's
-    shared-memory budget (Struct.h:215-228 init_max_shm uses 0.8 * smem)."""
+    shared-memory budget (Struct.h:215-228 init_max_shm uses 0.8 * smem).
 
-    vmem_bytes: int = 16 * 1024 * 1024
-    vmem_fraction: float = 0.8
+    The budget tracks the Mosaic scoped-VMEM cap the kernels compile with
+    (ops/mosaic.VMEM_LIMIT_BYTES, 64 MiB on v5e) with a 0.75 margin for
+    estimate error; the engines' vmem_bytes estimates are calibrated against
+    real Mosaic scoped-vmem OOMs. Raising the cap from the 16 MiB default
+    unlocked whole-level (split 0) rank kernels at depth 12-13, measured
+    23-25% faster than subtree-split mode (scripts/ls0_sweep.sh, v5e)."""
+
+    vmem_bytes: int = 64 * 1024 * 1024
+    vmem_fraction: float = 0.75
 
     @property
     def usable_vmem(self) -> int:

@@ -63,6 +63,11 @@ def check(strategy: Strategy, forest: ForestSpec,
     if strategy in (Strategy.VMEM_FOREST, Strategy.SPLIT_FOREST):
         if forest.num_cols > LANE:
             return f"fold kernel needs <= {LANE} features, forest has {forest.num_cols}"
+        if forest.depth > 14:
+            # the fully-unrolled fold at depth 15 blows up Mosaic compile
+            # time (>8 min measured on v5e — effectively a hang; the rank
+            # engine's subtree-split mode covers these forests)
+            return f"fold kernel compile explodes beyond depth 14 (depth {forest.depth})"
         row_tile, tree_tile = default_tiles(strategy, forest, limits)
         need = FoldKernelEngine.min_vmem_bytes(
             forest.depth, row_tile, tree_tile, 2 * forest.num_cols <= LANE,
@@ -141,25 +146,31 @@ def rank_virtual_cols(forest: ForestSpec) -> int:
 
 def rank_default_tiles(forest: ForestSpec, limits: TpuLimits = TpuLimits()):
     """(row_tile, tree_tile) for the rank-MXU engine, or (None, None) when
-    nothing fits. (128, 64) measured best on v5e SUSY-class shapes. Deep
-    forests fall through to subtree-split mode where SMALL tree tiles win
-    (bottom-subtree work runs on virtual tiles of 128 regardless of
-    tree_tile, so tree_tile only sets padded-tree waste; deep-12 measured
-    best (128, 8, split 5) on v5e). The engine picks its own split level."""
+    nothing fits.
+
+    Whole-level (split 0) configs are preferred over ANY subtree-split
+    config: split mode re-streams the bottom-level matrices for every row
+    tile, and whole-level measured 23-25% faster wherever both fit (deep-12
+    0.54 vs 0.70, deep-13 1.12 vs 1.49 us/sample on v5e). Among whole-level
+    configs the preference order is the measured v5e ranking — (256, 128)
+    best on SUSY-class, (128, 16/8) for deep forests where the select
+    frontier dominates the budget. The engine then re-derives the split
+    level from the same estimates."""
     from tahoe_tpu.forest.compiler import rank_groups
     from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 
     g = rank_groups(rank_virtual_cols(forest))
-    budget = limits.usable_vmem * 1.5
-    # (256, 128) measured best on v5e SUSY-class under the tree-outer grid
-    # (0.145 us/sample vs 0.190 at the old (128, 64) rows-outer default)
-    for rt, tt in [(256, 128), (128, 128), (128, 64), (128, 32), (64, 32),
-                   (256, 16), (128, 16), (64, 16), (128, 8), (64, 8)]:
+    budget = limits.usable_vmem
+    prefs = [(256, 128), (128, 128), (128, 64), (128, 32), (128, 16),
+             (128, 8), (64, 32), (64, 16), (64, 8), (256, 16),
+             (32, 8), (16, 8)]
+    fallback = None
+    for rt, tt in prefs:
         tt2 = 1 << (min(tt, max(8, forest.num_trees)) - 1).bit_length()
         if RankFoldEngine.vmem_bytes(forest.depth, rt, tt2, g, 0) <= budget:
             return rt, tt2
-    for rt, tt in [(128, 8), (64, 8), (128, 16), (64, 16), (32, 8), (16, 8)]:
-        tt2 = 1 << (min(tt, max(8, forest.num_trees)) - 1).bit_length()
-        if RankFoldEngine.min_vmem_bytes(forest.depth, rt, tt2, g) <= budget:
-            return rt, tt2
-    return None, None
+        if fallback is None and RankFoldEngine.min_vmem_bytes(
+            forest.depth, rt, tt2, g
+        ) <= budget:
+            fallback = (rt, tt2)
+    return fallback if fallback is not None else (None, None)

@@ -24,9 +24,22 @@ def main(argv=None) -> int:
     p.add_argument("--cols", type=int, default=18)
     p.add_argument("--row-tile", type=int, default=256)
     p.add_argument("--tree-tile", type=int, default=64)
-    p.add_argument("--col-chunk", type=int, default=512)
+    p.add_argument("--col-chunk", type=int, default=None,
+                   help="rank: matmul column chunk (None = engine default)")
     p.add_argument("--split-level", type=int, default=None,
                    help="fold/rank subtree split level (None = engine auto)")
+    p.add_argument("--cond-lead", type=int, default=0,
+                   help="rank: issue next level's cond matmuls before this "
+                        "level's selects (MXU/VPU overlap)")
+    p.add_argument("--chunk-lead", type=int, default=0,
+                   help="rank: one-chunk cond lookahead (finer-grain overlap)")
+    p.add_argument("--tree-outer", type=int, default=None,
+                   help="rank: 1/0 force tree-outer grid (None = engine auto)")
+    p.add_argument("--planes", action="store_true",
+                   help="rank: time the plane-resident serving path instead "
+                        "of full predict")
+    p.add_argument("--vmem-fraction", type=float, default=1.2,
+                   help="TpuLimits vmem_fraction for the engine budget")
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--epochs", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
@@ -59,7 +72,7 @@ def run(args) -> dict:
                                    missing_prob=args.missing_prob, seed=1)
     want = oracle.predict(forest, data)
     interpret = jax.default_backend() == "cpu"
-    limits = TpuLimits(vmem_fraction=1.2)
+    limits = TpuLimits(vmem_fraction=args.vmem_fraction)
 
     if args.engine == "fold":
         from tahoe_tpu.ops.fold_kernel import FoldKernelEngine
@@ -75,14 +88,30 @@ def run(args) -> dict:
         eng = RankFoldEngine(forest, row_tile=args.row_tile,
                              tree_tile=args.tree_tile,
                              split_level=args.split_level,
+                             cond_lead=bool(args.cond_lead),
+                             chunk_lead=bool(args.chunk_lead),
+                             tree_outer=(None if args.tree_outer is None
+                                         else bool(args.tree_outer)),
+                             col_chunk=args.col_chunk,
                              interpret=interpret, limits=limits)
-        if args.col_chunk != eng.cfg.col_chunk:
-            eng.cfg = eng.cfg._replace(col_chunk=args.col_chunk)
 
     data_d = jax.device_put(jnp.asarray(data, jnp.float32))
-    dt = timed_epoch_seconds(eng, data_d, warmup=args.warmup,
-                             epochs=args.epochs)
-    err = float(np.abs(np.asarray(eng.predict(data_d)) - want).max())
+    if args.planes:
+        planes_d = jax.jit(eng._transform)(eng.rank_tables, data_d)
+        planes_d.block_until_ready()
+
+        class _PlanesChain:
+            def predict_k(self, _data, k):
+                return eng._predict_planes_k(eng.tables, planes_d, k=k)
+
+        dt = timed_epoch_seconds(_PlanesChain(), data_d,
+                                 warmup=args.warmup, epochs=args.epochs)
+        preds = eng.predict_planes(planes_d)[: args.rows]
+    else:
+        dt = timed_epoch_seconds(eng, data_d, warmup=args.warmup,
+                                 epochs=args.epochs)
+        preds = eng.predict(data_d)
+    err = float(np.abs(np.asarray(preds) - want).max())
     return {
         "us_per_sample": dt * 1e6 / args.rows,
         "max_err": err,

@@ -65,6 +65,11 @@ class RankFoldConfig(NamedTuple):
     # issue each level's condition matmuls one level ahead of its selects
     # (MXU/VPU overlap experiment; see _make_kernel)
     cond_lead: bool = False
+    # one-CHUNK lookahead instead: compute the next fold step's condition
+    # matmul (MXU) before this step's select chain (VPU), keeping exactly one
+    # [Rt, col_chunk] int32 cond live — cond_lead at the bottom level keeps a
+    # whole level's masks (~8 MiB at depth 8) live, which spills
+    chunk_lead: bool = False
     # tree-OUTER grid (non-split mode): grid = (tree tiles, row tiles) with
     # rows innermost, so each tree tile's matrices stream into VMEM ONCE per
     # predict instead of once per row tile (the dominant HBM traffic for
@@ -106,50 +111,66 @@ def _make_kernel(cfg: RankFoldConfig):
 
         # cond_lead: issue the NEXT level's condition matmuls (MXU) before
         # this level's select chain (VPU) so Mosaic can overlap the units —
-        # the conds depend only on planes x matrices, never on w
-        cnds = level_conds(D - 1) if (cfg.cond_lead and D) else None
-        w = None
+        # the conds depend only on planes x matrices, never on w.
+        # chunk_lead: same idea at one-chunk granularity (flat step list,
+        # single pending cond — minimal live masks).
+        steps = []
         for d in range(D - 1, -1, -1):
             n = (1 << d) * TR
             n_chunks = _cdiv(n, CH)
             width = min(CH, max(n, LANE))
-            if cfg.cond_lead:
+            for c in range(n_chunks):
+                steps.append((d, c, n, n_chunks, width))
+        pending = (cond_chunk(steps[0][0], steps[0][1] * CH, steps[0][4])
+                   if (cfg.chunk_lead and steps) else None)
+        cnds = level_conds(D - 1) if (cfg.cond_lead and D) else None
+        w = None
+        new_w = []
+        for i, (d, c, n, n_chunks, width) in enumerate(steps):
+            if c == 0 and cfg.cond_lead:
                 this_cnds = cnds
                 cnds = level_conds(d - 1) if d > 0 else None
-            new_w = []
-            for c in range(n_chunks):
-                cnd = this_cnds[c] if cfg.cond_lead else cond_chunk(
-                    d, c * CH, width)
-                if w is None and n >= CH:
-                    lo = jnp.broadcast_to(
-                        leaf_ref[:, c * CH : (c + 1) * CH], (Rt, CH)
-                    )
-                    hi = jnp.broadcast_to(
-                        leaf_ref[:, n + c * CH : n + (c + 1) * CH],
-                        (Rt, CH),
-                    )
-                elif w is None and n >= LANE:
-                    # direct ref slices (128-aligned offsets): slicing the
-                    # broadcast VALUE instead lets XLA rewrite it into a
-                    # broadcast of an offset-layout slice, which Mosaic's
-                    # vector.broadcast rejects ("Invalid input layout")
-                    lo = jnp.broadcast_to(leaf_ref[:, :n], (Rt, n))
-                    hi = jnp.broadcast_to(leaf_ref[:, n : 2 * n], (Rt, n))
-                elif w is None:
-                    # sub-128-lane first fold: the leaf table stores the two
-                    # halves in separate 128-lane slots (_build_tables) so
-                    # both loads stay lane-aligned; select at full 128 width
-                    # (lanes >= n are pad, dropped by later slices/final sum)
-                    lo = jnp.broadcast_to(leaf_ref[:, :LANE], (Rt, LANE))
-                    hi = jnp.broadcast_to(leaf_ref[:, LANE : 2 * LANE],
-                                          (Rt, LANE))
-                elif n >= CH:
-                    lo, hi = w[c], w[c + n_chunks]
-                else:
-                    lo, hi = w[0][:, :n], w[0][:, n : 2 * n]
-                    cnd = cnd[:, :n]
-                new_w.append(jnp.where(cnd, hi, lo))
-            w = new_w
+            if cfg.chunk_lead:
+                cnd = pending
+                if i + 1 < len(steps):
+                    d2, c2, _n2, _k2, w2 = steps[i + 1]
+                    pending = cond_chunk(d2, c2 * CH, w2)
+            elif cfg.cond_lead:
+                cnd = this_cnds[c]
+            else:
+                cnd = cond_chunk(d, c * CH, width)
+            if w is None and n >= CH:
+                lo = jnp.broadcast_to(
+                    leaf_ref[:, c * CH : (c + 1) * CH], (Rt, CH)
+                )
+                hi = jnp.broadcast_to(
+                    leaf_ref[:, n + c * CH : n + (c + 1) * CH],
+                    (Rt, CH),
+                )
+            elif w is None and n >= LANE:
+                # direct ref slices (128-aligned offsets): slicing the
+                # broadcast VALUE instead lets XLA rewrite it into a
+                # broadcast of an offset-layout slice, which Mosaic's
+                # vector.broadcast rejects ("Invalid input layout")
+                lo = jnp.broadcast_to(leaf_ref[:, :n], (Rt, n))
+                hi = jnp.broadcast_to(leaf_ref[:, n : 2 * n], (Rt, n))
+            elif w is None:
+                # sub-128-lane first fold: the leaf table stores the two
+                # halves in separate 128-lane slots (_build_tables) so
+                # both loads stay lane-aligned; select at full 128 width
+                # (lanes >= n are pad, dropped by later slices/final sum)
+                lo = jnp.broadcast_to(leaf_ref[:, :LANE], (Rt, LANE))
+                hi = jnp.broadcast_to(leaf_ref[:, LANE : 2 * LANE],
+                                      (Rt, LANE))
+            elif n >= CH:
+                lo, hi = w[c], w[c + n_chunks]
+            else:
+                lo, hi = w[0][:, :n], w[0][:, n : 2 * n]
+                cnd = cnd[:, :n]
+            new_w.append(jnp.where(cnd, hi, lo))
+            if c == n_chunks - 1:  # level complete
+                w = new_w
+                new_w = []
 
         if w is None:  # depth 0
             w = [jnp.broadcast_to(leaf_ref[:, :LANE], (Rt, LANE))]
@@ -403,6 +424,7 @@ class RankFoldEngine:
                  tree_tile: int = 64, interpret: bool = False,
                  split_level: int | None = None, band: int | None = None,
                  prequantized=None, cond_lead: bool = False,
+                 chunk_lead: bool = False,
                  tree_outer: bool | None = None, col_chunk: int | None = None,
                  limits: TpuLimits = TpuLimits()):
         if forest.num_cols > RANK_MAX_COLS:
@@ -452,6 +474,7 @@ class RankFoldEngine:
         self.tree_tile = 1 << (tt - 1).bit_length()
         self.interpret = interpret
         self.cond_lead = cond_lead
+        self.chunk_lead = chunk_lead
         self.tree_outer = tree_outer
         from tahoe_tpu.forest.compiler import rank_groups
 
@@ -492,6 +515,8 @@ class RankFoldEngine:
         self._build_tables(lev)
         self._predict = jax.jit(self._predict_impl)
         self._predict_k = jax.jit(self._chain_impl, static_argnames=("k",))
+        self._predict_planes_k = jax.jit(self._chain_planes_impl,
+                                         static_argnames=("k",))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -663,7 +688,7 @@ class RankFoldEngine:
             seg=tuple(self.seg), leaf_seg=self.leaf_seg,
             interpret=self.interpret, groups=self.groups,
             split_level=self.split_level, cond_lead=self.cond_lead,
-            col_chunk=self.col_chunk,
+            chunk_lead=self.chunk_lead, col_chunk=self.col_chunk,
             tree_outer=(self.tree_outer if self.tree_outer is not None
                         else self.split_level == 0),
         )
@@ -733,6 +758,18 @@ class RankFoldEngine:
             return self._predict_impl(tables, rank_tables, data + acc[0] * 0.0)
 
         return jax.lax.fori_loop(0, k, body, jnp.zeros(data.shape[0], jnp.float32))
+
+    def _chain_planes_impl(self, tables, planes, k):
+        def body(_, acc):
+            p = planes + (acc[0] * 0.0).astype(planes.dtype)
+            margins = self._margins_planes(tables, p)
+            return apply_output_transform(
+                margins, self.num_trees, self.output, self.global_bias,
+                self.threshold, jnp,
+            )
+
+        return jax.lax.fori_loop(
+            0, k, body, jnp.zeros(planes.shape[0], jnp.float32))
 
     # ------------------------------------------------------------------
     def predict(self, data) -> jax.Array:

@@ -72,6 +72,7 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
 
     if strategy == Strategy.RANK_MXU:
         from tahoe_tpu.forest.compiler import rank_groups
+        from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 
         vcols = feasibility.rank_virtual_cols(forest)
         G = rank_groups(vcols)
@@ -83,6 +84,28 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
         compute = rows * nodes_per_row * (
             cal.fold_node_ns / 1e9 * 0.15 + 128.0 * G / 105e12
         )
+        # mirror the engine's auto split choice: whole-level (split 0)
+        # streams each tree tile's matrices ONCE per predict under the
+        # tree-outer grid; subtree-split mode re-streams the bottom-level
+        # matrices for EVERY row tile (the dominant deep-forest cost)
+        from tahoe_tpu.config import TpuLimits
+
+        rt, tt = feasibility.rank_default_tiles(forest)
+        limits = TpuLimits()
+        cands = RankFoldEngine.valid_split_levels(forest.depth, tt)
+        ls = next(
+            (l for l in cands if RankFoldEngine.vmem_bytes(
+                forest.depth, rt, tt, G, l) <= limits.usable_vmem),
+            min(cands, key=lambda l: RankFoldEngine.vmem_bytes(
+                forest.depth, rt, tt, G, l)),
+        )
+        # int8 matrices cover INTERNAL nodes only (2^D - 1 per tree)
+        mat_bytes = forest.num_trees * ((1 << forest.depth) - 1) * 128 * G
+        passes = max(1.0, rows / rt) if ls else 1.0
+        # Pallas double-buffers the streamed tables against compute, so the
+        # streaming only costs when it EXCEEDS compute: charge the surplus
+        stream = passes * mat_bytes / (cal.hbm_gbps * 1e9)
+        memory = max(0.0, stream - compute)
         import numpy as np
 
         internal = ~forest.is_leaf
@@ -100,7 +123,7 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
             # plane assembly, plus ~0.7 ps per (row, distinct threshold)
             transform = rows * (forest.num_cols * 1.2e-9
                                 + sum(k_per_f) * 0.7e-12)
-        return CostBreakdown(compute + transform, 0.0, dispatch)
+        return CostBreakdown(compute + transform, memory, dispatch)
 
     if strategy == Strategy.DEPTH_BUCKETED:
         from tahoe_tpu.forest.compiler import reachable_depths
@@ -113,6 +136,8 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
             for idx in buckets
         )
         compute = rows * nodes * cal.fold_node_ns / 1e9
+        if int(depths.max(initial=0)) >= 12:
+            compute *= 1.5  # deep buckets run split-mode folds (see below)
         row_tile, _ = feasibility.default_tiles(Strategy.SPLIT_FOREST, forest)
         passes = max(1.0, rows / row_tile)
         # each bucket streams its own (truncated) tables
@@ -127,6 +152,11 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
     # fused fold kernel strategies
     row_tile, tree_tile = feasibility.default_tiles(strategy, forest)
     compute = rows * nodes_per_row * cal.fold_node_ns / 1e9
+    if forest.depth >= 12:
+        # deep forests force the fold kernel into subtree-split mode whose
+        # narrow per-subtree folds run ~1.5x the shallow per-node cost
+        # (v5e: 3.3-3.9 ps/node at depth 12-14 vs 2.4 shallow)
+        compute *= 1.5
     passes = max(1.0, rows / row_tile)
     memory = passes * _table_bytes(forest) / (cal.hbm_gbps * 1e9)
     if strategy == Strategy.VMEM_FOREST:

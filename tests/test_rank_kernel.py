@@ -157,16 +157,46 @@ def test_band_split_noop_when_under_cap():
 
 
 def test_deep_auto_split_feasible():
-    """Depth 14 (whole-level tables bust VMEM at any tile) picks a split
-    level automatically and fits the budget."""
+    """When whole-level tables bust the VMEM budget the engine picks a split
+    level automatically and fits it (budget passed explicitly so the test is
+    independent of the production default)."""
     from tahoe_tpu.config import TpuLimits
 
+    limits = TpuLimits(vmem_bytes=16 * 1024 * 1024, vmem_fraction=0.8)
     forest = synthetic.generate_forest(8, 14, 10, leaf_prob=0.05, seed=163)
-    eng = _engine(forest, row_tile=8, tree_tile=8)
+    eng = _engine(forest, row_tile=8, tree_tile=8, limits=limits)
     assert eng.split_level > 0
     need = RankFoldEngine.vmem_bytes(14, 8, 8, 1, eng.split_level)
-    assert need <= TpuLimits().usable_vmem
+    assert need <= limits.usable_vmem
     data = synthetic.generate_data(9, 10, missing_prob=0.1, seed=164)
     np.testing.assert_allclose(
         np.asarray(eng.predict(data)), oracle.predict(forest, data), atol=1e-5
     )
+
+
+def test_planes_chain_matches_predict():
+    """predict_planes_k (the plane-resident serving chain) must equal the
+    full predict for any chain length."""
+    import jax
+
+    forest = synthetic.generate_forest(12, 4, 7, seed=99)
+    data = synthetic.generate_data(41, 7, missing_prob=0.1, seed=98)
+    eng = _engine(forest, row_tile=16, tree_tile=16)
+    want = np.asarray(eng.predict(data))
+    planes = jax.jit(eng._transform)(eng.rank_tables, data.astype(np.float32))
+    got = np.asarray(
+        eng._predict_planes_k(eng.tables, planes, k=3)
+    )[: data.shape[0]]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("lead", ["none", "cond", "chunk"])
+def test_lead_modes_match_oracle(lead):
+    """cond_lead / chunk_lead are pure scheduling rewrites — identical math."""
+    forest = synthetic.generate_forest(40, 6, 12, seed=55)
+    data = synthetic.generate_data(33, 12, missing_prob=0.1, seed=56)
+    eng = _engine(forest, row_tile=16, tree_tile=16,
+                  cond_lead=(lead == "cond"), chunk_lead=(lead == "chunk"))
+    got = np.asarray(eng.predict(data))
+    want = oracle.predict(forest, data)
+    np.testing.assert_allclose(got, want, atol=1e-5)
