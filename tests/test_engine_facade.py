@@ -98,3 +98,19 @@ def test_enumeration_tile_tuning(forest, data):
     assert r.ran and r.correct, (r.error, r.skipped_reason)
     cands = autotune.tile_candidates(Strategy.SPLIT_FOREST, forest.spec)
     assert r.tiles in cands
+
+
+def test_rank_defaults_prefer_whole_level():
+    """Under production limits the SUSY-class rank engine must come up in
+    whole-level (split 0) tree-outer mode — the measured-best configuration
+    (scripts/ls0_sweep.sh); a regression to split mode costs ~25%."""
+    from tahoe_tpu.engine.feasibility import rank_default_tiles
+    from tahoe_tpu.forest import synthetic
+    from tahoe_tpu.ops.rank_kernel import RankFoldEngine
+
+    spec = synthetic.generate_forest(500, 8, 18, seed=1)
+    rt, tt = rank_default_tiles(spec)
+    assert (rt, tt) == (256, 128)
+    eng = RankFoldEngine(spec, row_tile=rt, tree_tile=tt, interpret=True)
+    assert eng.split_level == 0
+    assert eng.cfg.tree_outer

@@ -71,3 +71,21 @@ def test_tree_sharded_deep_split(setup):
     assert eng.cfg.split_level == 4
     got = np.asarray(eng.predict(data))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_mesh_shape_invariance(setup):
+    """Predictions must be identical (up to f32 psum reordering) across every
+    mesh factorization of the same device count — the property that makes the
+    scaling harness's efficiency numbers comparable."""
+    forest = synthetic.generate_forest(64, 4, 12, leaf_prob=0.1, seed=105)
+    data = synthetic.generate_data(96, 12, missing_prob=0.1, seed=106)
+    lev = compiler.levelize(forest)
+    want = oracle.predict(forest, data)
+    outs = []
+    for nd, nm in [(8, 1), (4, 2), (2, 4), (1, 8)]:
+        mesh = make_mesh(data=nd, model=nm)
+        eng = ShardedForestEngine(lev, mesh, row_tile=8, tree_tile=8)
+        outs.append(np.asarray(eng.predict(data)))
+        np.testing.assert_allclose(outs[-1], want, atol=1e-5)
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], atol=1e-5)
