@@ -1,0 +1,49 @@
+"""Analytical performance model: prediction pins + feasibility skips.
+
+The reference validates its cost model by comparing the predicted strategy
+with the enumerated best (main.cu:85-92); the sweep does that on hardware.
+These tests pin the model's choices on shapes whose measured winners are
+known from v5e runs (sweep_results_r*.jsonl), so a regression in the cost
+terms shows up without a chip.
+"""
+import pytest
+
+from tahoe_tpu.config import Strategy
+from tahoe_tpu.forest import synthetic
+from tahoe_tpu.perf_model import model
+from tahoe_tpu.perf_model.calibrate import Calibration
+
+
+CASES = [
+    # (trees, depth, cols, rows) -> measured-best strategy on v5e
+    ((500, 8, 18, 10000), Strategy.RANK_MXU),    # SUSY-class
+    ((100, 12, 28, 4000), Strategy.RANK_MXU),    # deep12 (whole-level rank)
+    ((80, 13, 24, 3000), Strategy.RANK_MXU),     # deep13 (whole-level rank)
+    ((30, 15, 16, 1000), Strategy.RANK_MXU),     # deep15 (fold infeasible)
+    ((250, 9, 54, 6000), Strategy.VMEM_FOREST),  # covtype-class
+]
+
+
+@pytest.mark.parametrize("shape,want", CASES)
+def test_predicts_measured_best(shape, want):
+    t, d, c, rows = shape
+    spec = synthetic.generate_forest(t, d, c, seed=1)
+    best, costs = model.choose_strategy(spec, rows, Calibration.default())
+    assert best == want, {s.name: (v.total if v else None)
+                          for s, v in costs.items()}
+
+
+def test_deep15_fold_infeasible():
+    spec = synthetic.generate_forest(30, 15, 16, seed=1)
+    cal = Calibration.default()
+    assert model.predict_cost(Strategy.SPLIT_FOREST, spec, 1000, cal) is None
+    assert model.predict_cost(Strategy.VMEM_FOREST, spec, 1000, cal) is None
+    assert model.predict_cost(Strategy.RANK_MXU, spec, 1000, cal) is not None
+
+
+def test_cost_breakdown_fields():
+    spec = synthetic.generate_forest(64, 6, 12, seed=2)
+    cb = model.predict_cost(Strategy.RANK_MXU, spec, 2048,
+                            Calibration.default())
+    assert cb.compute_s > 0 and cb.dispatch_s > 0 and cb.memory_s >= 0
+    assert cb.total == cb.compute_s + cb.memory_s + cb.dispatch_s
