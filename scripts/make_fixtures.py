@@ -35,7 +35,15 @@ def main() -> int:
     )
     rows = args.rows or rows
     os.makedirs(args.outdir, exist_ok=True)
-    forest = synthetic.generate_forest(trees, depth, cols, seed=args.seed)
+    if name.startswith("trained_mix"):
+        forest = synthetic.generate_mixed_depth_forest(trees, depth, cols,
+                                                       seed=args.seed)
+    elif name.startswith("rf_trained"):
+        from tahoe_tpu.forest.train import train_forest
+
+        forest = train_forest(trees, depth, cols, rows=2048, seed=args.seed)
+    else:
+        forest = synthetic.generate_forest(trees, depth, cols, seed=args.seed)
     data = synthetic.generate_data(rows, cols, missing_prob=mprob,
                                    seed=args.seed + 1)
     mp = os.path.join(args.outdir, f"model_{name}.txt")

@@ -55,6 +55,11 @@ SHAPES = [
     # trained-ensemble shape: per-tree depths 6..12, stored complete at 12 —
     # exercises unreachable-depth truncation + the DEPTH_BUCKETED strategy
     ("trained_mix_like", 300, 12, 26, 4000, 0.01),
+    # genuinely TRAINED random forest (forest/train.py): early leaves
+    # throughout (~80% of internal slots are filler), realistic per-feature
+    # threshold counts — the closest stand-in for the reference's real
+    # downloaded models (run_all_15_examples.sh)
+    ("rf_trained_like", 300, 10, 24, 4000, 0.01),
 ]
 
 
@@ -109,6 +114,10 @@ def main() -> int:
                 spec = synthetic.generate_mixed_depth_forest(
                     trees, depth, cols, seed=1
                 )
+            elif name.startswith("rf_trained"):
+                from tahoe_tpu.forest.train import train_forest
+
+                spec = train_forest(trees, depth, cols, rows=2048, seed=1)
             else:
                 spec = synthetic.generate_forest(trees, depth, cols, seed=1)
             data = synthetic.generate_data(rows, cols, missing_prob=mprob, seed=2)
@@ -122,6 +131,15 @@ def main() -> int:
             spec, data, warmup=2, epochs=args.epochs,
         )
         best = autotune.best_strategy(res)
+        pred_r = res.get(predicted)
+        best_r = res.get(best) if best else None
+        # strict argmin match (the reference's criterion, main.cu:85-90) plus
+        # a noise-aware view: chip throughput drifts and sub-5% gaps between
+        # strategies are coin flips between runs
+        within_5pct = bool(
+            pred_r is not None and pred_r.ran and best_r is not None
+            and pred_r.us_per_sample <= best_r.us_per_sample * 1.05
+        )
         rec = {
             "dataset": label,
             "trees": spec.num_trees,
@@ -131,6 +149,7 @@ def main() -> int:
             "predicted": predicted.name,
             "measured_best": best.name if best else None,
             "model_correct": bool(best == predicted),
+            "model_within_5pct": bool(best == predicted) or within_5pct,
             "all_correct": all(
                 r.correct for r in res.values() if r.ran
             ),

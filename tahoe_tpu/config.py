@@ -192,6 +192,16 @@ class TpuLimits:
     def usable_vmem(self) -> int:
         return int(self.vmem_bytes * self.vmem_fraction)
 
+    @property
+    def fold_usable_vmem(self) -> int:
+        """Derated budget for the f32 fold engine, whose vmem estimates run
+        ~3x under real Mosaic scoped usage at large tiles (measured: SUSY
+        whole-forest fold est 28 MiB, actual 80.6 MiB scoped OOM at the
+        64 MiB cap). usable/3 lands at the long-tested 16 MiB-era budget;
+        the rank engine's estimates are validated against real compiles up
+        to 40.5 MiB and keep the full budget."""
+        return self.usable_vmem // 3
+
 
 def sigmoid(x: float) -> float:
     """Scalar sigmoid used by host-side transforms (Struct.h:13)."""

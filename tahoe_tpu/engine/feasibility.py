@@ -34,7 +34,7 @@ def default_tiles(strategy: Strategy, forest: ForestSpec,
         row_tile = 256
         while row_tile > 8 and FoldKernelEngine.min_vmem_bytes(
             forest.depth, row_tile, tree_tile, ge_ok, trees
-        ) > limits.usable_vmem:
+        ) > limits.fold_usable_vmem:
             row_tile //= 2
         return row_tile, tree_tile
     # SPLIT_FOREST: measured preference order on v5e (scripts/tile_sweep.py).
@@ -51,7 +51,7 @@ def default_tiles(strategy: Strategy, forest: ForestSpec,
         tt = 1 << (min(tree_tile, max(8, trees)) - 1).bit_length()
         if FoldKernelEngine.min_vmem_bytes(
             forest.depth, row_tile, tt, ge_ok, trees
-        ) <= limits.usable_vmem:
+        ) <= limits.fold_usable_vmem:
             return row_tile, tt
     return 8, 8
 
@@ -73,10 +73,10 @@ def check(strategy: Strategy, forest: ForestSpec,
             forest.depth, row_tile, tree_tile, 2 * forest.num_cols <= LANE,
             forest.num_trees,
         )
-        if need > limits.usable_vmem:
+        if need > limits.fold_usable_vmem:
             return (
                 f"needs ~{need / 2**20:.1f} MiB VMEM per tile "
-                f"(budget {limits.usable_vmem / 2**20:.1f} MiB)"
+                f"(budget {limits.fold_usable_vmem / 2**20:.1f} MiB)"
             )
     if strategy in (Strategy.TENSOR, Strategy.ROW_TILED):
         # leveled form materializes 2^depth leaves per tree
@@ -98,10 +98,10 @@ def check(strategy: Strategy, forest: ForestSpec,
             int(depths.max()), row_tile, min(tree_tile, 8),
             2 * forest.num_cols <= LANE, forest.num_trees,
         )
-        if need > limits.usable_vmem:
+        if need > limits.fold_usable_vmem:
             return (
                 f"deepest bucket needs ~{need / 2**20:.1f} MiB VMEM "
-                f"(budget {limits.usable_vmem / 2**20:.1f} MiB)"
+                f"(budget {limits.fold_usable_vmem / 2**20:.1f} MiB)"
             )
     if strategy == Strategy.RANK_MXU:
         from tahoe_tpu.forest.compiler import RANK_MAX_COLS

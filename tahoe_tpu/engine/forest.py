@@ -98,20 +98,19 @@ class Forest:
 
             eng = GatherEngine(self.compiled)
         elif strategy == Strategy.RANK_MXU:
-            from tahoe_tpu.config import TpuLimits
-            from tahoe_tpu.ops.mosaic import VMEM_LIMIT_BYTES
             from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 
-            # budget tracks the raised Mosaic scoped-VMEM cap (ops/mosaic.py)
-            rank_limits = TpuLimits(vmem_bytes=VMEM_LIMIT_BYTES,
-                                    vmem_fraction=0.95)
-            drt, dtt = feasibility.rank_default_tiles(self.spec, rank_limits)
+            # self.limits (default TpuLimits: 0.75 x the Mosaic scoped cap)
+            # leaves margin for estimate error — a 0.95 fraction here once
+            # admitted a config estimated at 57 MiB that actually needed
+            # 97 MiB of scoped VMEM and failed to compile
+            drt, dtt = feasibility.rank_default_tiles(self.spec, self.limits)
             eng = RankFoldEngine(
                 self.spec,
                 row_tile=row_tile or drt or 128,
                 tree_tile=tree_tile or dtt or 64,
                 interpret=interpret,
-                limits=rank_limits,
+                limits=self.limits,
             )
         elif strategy == Strategy.DEPTH_BUCKETED:
             from tahoe_tpu.ops.bucketed import make_depth_bucketed_engine

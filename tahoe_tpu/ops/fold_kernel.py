@@ -147,7 +147,7 @@ class FoldKernelEngine:
             split_level = next(
                 (ls for ls in candidates if self.vmem_bytes(
                     leveled.depth, self.row_tile, self.tree_tile, ls, n_tiles
-                ) <= limits.usable_vmem),
+                ) <= limits.fold_usable_vmem),
                 candidates[0],
             )
         elif split_level > 0 and split_level not in self.valid_split_levels(
@@ -162,10 +162,10 @@ class FoldKernelEngine:
 
         need = self.vmem_bytes(leveled.depth, self.row_tile, self.tree_tile,
                                split_level, n_tiles)
-        if not interpret and need > limits.usable_vmem:
+        if not interpret and need > limits.fold_usable_vmem:
             raise ValueError(
                 f"tile needs ~{need/2**20:.1f} MiB VMEM > budget "
-                f"{limits.usable_vmem/2**20:.1f} MiB; shrink row_tile/tree_tile"
+                f"{limits.fold_usable_vmem/2**20:.1f} MiB; shrink row_tile/tree_tile"
             )
 
         self._build_tables(leveled)

@@ -487,9 +487,10 @@ class RankFoldEngine:
             split_level = next(
                 (ls for ls in candidates if self.vmem_bytes(
                     lev.depth, row_tile, self.tree_tile, self.groups, ls
-                ) <= limits.usable_vmem),
+                ) <= self.split_budget(ls, limits)),
                 min(candidates, key=lambda ls: self.vmem_bytes(
-                    lev.depth, row_tile, self.tree_tile, self.groups, ls)),
+                    lev.depth, row_tile, self.tree_tile, self.groups, ls
+                ) / self.split_budget(ls, limits)),
             )
         elif split_level > 0 and split_level not in self.valid_split_levels(
             lev.depth, self.tree_tile
@@ -506,10 +507,11 @@ class RankFoldEngine:
 
         need = self.vmem_bytes(lev.depth, row_tile, self.tree_tile,
                                self.groups, split_level)
-        if not interpret and need > limits.usable_vmem:
+        budget = self.split_budget(split_level, limits)
+        if not interpret and need > budget:
             raise ValueError(
                 f"tile needs ~{need/2**20:.1f} MiB VMEM > budget "
-                f"{limits.usable_vmem/2**20:.1f} MiB"
+                f"{budget/2**20:.1f} MiB"
             )
 
         self._build_tables(lev)
@@ -538,6 +540,15 @@ class RankFoldEngine:
         return int(mats + leaf + w_top + w_top // 2
                    + row_tile * LANE * groups * 8)
 
+    @staticmethod
+    def split_budget(split_level: int, limits: TpuLimits) -> int:
+        """Budget the vmem estimate is compared against. Whole-level (0)
+        estimates are validated against real Mosaic compiles up to 40.5 MiB
+        actual; the subtree-split estimates run up to ~2.4x under actual at
+        multi-group shapes (deep-14 G=3: est 39.9, actual 97.3 scoped OOM),
+        so split configs get half the budget."""
+        return limits.usable_vmem if split_level == 0 else limits.usable_vmem // 2
+
     @classmethod
     def valid_split_levels(cls, depth: int, tree_tile: int) -> list:
         """Usable split levels, smallest first (0 = whole-level fold).
@@ -554,9 +565,12 @@ class RankFoldEngine:
     @classmethod
     def min_vmem_bytes(cls, depth: int, row_tile: int, tree_tile: int,
                        groups: int = 1) -> int:
-        """Min peak VMEM over allowed split levels (for feasibility)."""
+        """Min budget-equivalent VMEM over allowed split levels (for
+        feasibility; compare against limits.usable_vmem). Split-level
+        estimates are doubled to mirror split_budget's derating."""
         return min(
             cls.vmem_bytes(depth, row_tile, tree_tile, groups, ls)
+            * (1 if ls == 0 else 2)
             for ls in cls.valid_split_levels(depth, tree_tile)
         )
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Optional
 
@@ -146,28 +147,72 @@ def measure(force: bool = False) -> Calibration:
     t = _slope_time(lambda k: xla.predict_k(data_d, k), k1=1, k2=5)
     xla_node_ns = t / rows / nodes_per_row * 1e9
 
-    _cached = Calibration(
+    _cached = _sanity_clamp(Calibration(
         fold_node_ns=fold_node_ns,
         gather_step_ns=gather_step_ns,
         xla_node_ns=xla_node_ns,
         hbm_gbps=hbm_gbps,
         dispatch_us=dispatch_us,
-    )
+    ))
     return _cached
 
 
-def measure_subprocess() -> Calibration:
-    """Run the probes in a child process and parse its JSON line.
+def _sanity_clamp(c: Calibration) -> Calibration:
+    """Clamp each probe to [x/3, 3x] of its long-run default.
 
-    Needed when the caller must NOT initialize a JAX backend itself — e.g. the
-    CLI, whose strategy enumeration spawns per-strategy workers: the TPU
-    tunnel here is exclusive, so a parent holding a backend would deadlock
-    every child (see .claude/skills/verify/SKILL.md).
+    The shared single-chip runtime occasionally returns garbage micro-runs
+    (observed: fold_node_ns measured 19 ps — 8x reality — which flipped
+    every model prediction that sweep). Chip drift is ~±30%, so a 3x band
+    passes every honest reading while discarding the pathological ones."""
+    d = Calibration.default()
+    def cl(v, ref):
+        return float(min(max(v, ref / 3.0), ref * 3.0))
+
+    return Calibration(
+        fold_node_ns=cl(c.fold_node_ns, d.fold_node_ns),
+        gather_step_ns=cl(c.gather_step_ns, d.gather_step_ns),
+        xla_node_ns=cl(c.xla_node_ns, d.xla_node_ns),
+        hbm_gbps=cl(c.hbm_gbps, d.hbm_gbps),
+        dispatch_us=cl(c.dispatch_us, d.dispatch_us),
+    )
+
+
+CACHE_PATH = os.path.join(
+    os.path.expanduser("~"), ".cache", "tahoe_tpu", "calibration.json"
+)
+# single-chip throughput drifts up to ~30% between sessions; a few-hour-old
+# calibration still ranks strategies correctly (the model compares ratios),
+# but don't trust one from yesterday
+CACHE_MAX_AGE_S = 6 * 3600.0
+
+
+def measure_subprocess(cache: bool = True) -> Calibration:
+    """Run the probes in a child process and parse its JSON line; results are
+    cached on disk for CACHE_MAX_AGE_S (the probes take minutes on a remote
+    runtime — the reference's bandwidthTest analog runs in seconds, so repeat
+    CLI invocations shouldn't re-pay them).
+
+    A child process is needed when the caller must NOT initialize a JAX
+    backend itself — e.g. the CLI, whose strategy enumeration spawns
+    per-strategy workers: the TPU tunnel here is exclusive, so a parent
+    holding a backend would deadlock every child
+    (see .claude/skills/verify/SKILL.md).
     """
     import json
-    import os
     import subprocess
     import sys
+
+    if cache:
+        try:
+            if time.time() - os.path.getmtime(CACHE_PATH) < CACHE_MAX_AGE_S:
+                with open(CACHE_PATH) as f:
+                    d = json.load(f)
+                return _sanity_clamp(Calibration(**{
+                    k.name: d[k.name]
+                    for k in dataclasses.fields(Calibration)
+                }))
+        except (OSError, KeyError, ValueError):
+            pass  # stale/missing/corrupt cache → measure fresh
 
     env = dict(os.environ)
     repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
@@ -179,7 +224,14 @@ def measure_subprocess() -> Calibration:
     for line in reversed(out.stdout.strip().splitlines() or [""]):
         if line.strip().startswith("{"):
             d = json.loads(line)
-            return Calibration(**d)
+            if cache:
+                try:
+                    os.makedirs(os.path.dirname(CACHE_PATH), exist_ok=True)
+                    with open(CACHE_PATH, "w") as f:
+                        json.dump(d, f)
+                except OSError:
+                    pass
+            return _sanity_clamp(Calibration(**d))
     raise RuntimeError(
         f"calibration subprocess failed: {out.stderr.strip()[-300:]}"
     )

@@ -30,6 +30,10 @@ from tahoe_tpu.engine import feasibility
 from tahoe_tpu.forest.spec import ForestSpec
 from tahoe_tpu.perf_model.calibrate import Calibration
 
+# effective bandwidth of pallas block-streamed tables (vs the contiguous-copy
+# rate cal.hbm_gbps measures); fits the stream-bound deep-14/15 rank readings
+RANK_STREAM_GBPS = 700.0
+
 
 @dataclasses.dataclass(frozen=True)
 class CostBreakdown:
@@ -45,6 +49,25 @@ class CostBreakdown:
 def _table_bytes(forest: ForestSpec) -> int:
     # ge-mode fold tables: thresh f32 + fid i32 per internal node, leaf f32
     return forest.num_trees * (tree_num_nodes(forest.depth) * 8 + (1 << forest.depth) * 4)
+
+
+def _rank_transform_cost(forest: ForestSpec, vcols: int, rows: int) -> float:
+    """Per-batch rank-transform seconds (rank_transform.py kernels)."""
+    import numpy as np
+
+    internal = ~forest.is_leaf
+    k_per_f = [
+        int(np.unique(forest.values[internal & (forest.fids == f)]).size)
+        for f in range(forest.num_cols)
+    ]
+    if max(k_per_f, default=0) > 256:
+        # bucketed v2 transform: ~constant VPU work per (row, VIRTUAL
+        # feature — banding expands columns) regardless of table size;
+        # ~1.5 ns measured on v5e at SUSY scale
+        return rows * vcols * 1.5e-9
+    # flat compare sweep: fixed ~1.2 ns/(row, feature) of loop + plane
+    # assembly, plus ~0.7 ps per (row, distinct threshold)
+    return rows * (forest.num_cols * 1.2e-9 + sum(k_per_f) * 0.7e-12)
 
 
 def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
@@ -76,13 +99,14 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
 
         vcols = feasibility.rank_virtual_cols(forest)
         G = rank_groups(vcols)
-        # the int8 matmul dominates: 128*G MACs/node at ~105 effective int8
+        # the int8 matmul dominates: 128*G MACs/node at ~206 effective int8
         # TOPS, plus a small G-independent VPU residue (compare + select).
-        # Fit to three v5e measurements — SUSY-class G=1 shallow 1.5 ps/node,
-        # deep-12 G=1 split 1.4 ps, deep-14 G=3 banded split 4.1 ps — the
-        # per-node cost is essentially linear in G (padded trees included)
+        # Fit to whole-level v5e measurements (scripts/ls0*_sweep.sh):
+        # SUSY G=1 0.98 ps/node, deep-12 G=1 1.2 ps, deep-13 G=2 1.6 ps;
+        # split-mode streaming is charged separately below (it explained the
+        # old 4.2 ps deep-14 G=3 reading — stream-bound, not compute-bound)
         compute = rows * nodes_per_row * (
-            cal.fold_node_ns / 1e9 * 0.15 + 128.0 * G / 105e12
+            cal.fold_node_ns / 1e9 * 0.15 + 128.0 * G / 206e12
         )
         # mirror the engine's auto split choice: whole-level (split 0)
         # streams each tree tile's matrices ONCE per predict under the
@@ -95,38 +119,27 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
         cands = RankFoldEngine.valid_split_levels(forest.depth, tt)
         ls = next(
             (l for l in cands if RankFoldEngine.vmem_bytes(
-                forest.depth, rt, tt, G, l) <= limits.usable_vmem),
+                forest.depth, rt, tt, G, l
+            ) <= RankFoldEngine.split_budget(l, limits)),
             min(cands, key=lambda l: RankFoldEngine.vmem_bytes(
-                forest.depth, rt, tt, G, l)),
+                forest.depth, rt, tt, G, l
+            ) / RankFoldEngine.split_budget(l, limits)),
         )
         # int8 matrices cover INTERNAL nodes only (2^D - 1 per tree)
         mat_bytes = forest.num_trees * ((1 << forest.depth) - 1) * 128 * G
         passes = max(1.0, rows / rt) if ls else 1.0
         # Pallas double-buffers the streamed tables against compute, so the
-        # streaming only costs when it EXCEEDS compute: charge the surplus
-        stream = passes * mat_bytes / (cal.hbm_gbps * 1e9)
+        # streaming only costs when it EXCEEDS compute: charge the surplus.
+        # Block-streamed pallas loads reach ~700 GB/s on v5e (measured via
+        # stream-bound deep-14/15 rank runs), well under the contiguous-copy
+        # bandwidth the HBM probe reports.
+        stream = passes * mat_bytes / (RANK_STREAM_GBPS * 1e9)
         memory = max(0.0, stream - compute)
-        import numpy as np
-
-        internal = ~forest.is_leaf
-        k_per_f = [
-            int(np.unique(forest.values[internal & (forest.fids == f)]).size)
-            for f in range(forest.num_cols)
-        ]
-        if max(k_per_f, default=0) > 256:
-            # bucketed v2 transform (rank_transform.py): ~constant VPU work
-            # per (row, VIRTUAL feature — banding expands columns) regardless
-            # of table size; ~1.5 ns measured on v5e at SUSY scale
-            transform = rows * vcols * 1.5e-9
-        else:
-            # flat compare sweep: fixed ~1.2 ns/(row, feature) of loop +
-            # plane assembly, plus ~0.7 ps per (row, distinct threshold)
-            transform = rows * (forest.num_cols * 1.2e-9
-                                + sum(k_per_f) * 0.7e-12)
+        transform = _rank_transform_cost(forest, vcols, rows)
         return CostBreakdown(compute + transform, memory, dispatch)
 
     if strategy == Strategy.DEPTH_BUCKETED:
-        from tahoe_tpu.forest.compiler import reachable_depths
+        from tahoe_tpu.forest.compiler import RANK_MAX_COLS, rank_groups, reachable_depths
         from tahoe_tpu.ops.bucketed import plan_buckets
 
         depths = reachable_depths(forest)
@@ -135,9 +148,21 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
             max(len(idx), 8) * (1 << int(depths[idx].max(initial=0)))
             for idx in buckets
         )
+        # mirror make_depth_bucketed_engine's chooser: rank sub-engines when
+        # the rank form fits in <= 2 plane groups (one shared quantization +
+        # transform), else fold sub-engines
+        vcols = feasibility.rank_virtual_cols(forest)
+        use_rank = vcols <= RANK_MAX_COLS and rank_groups(vcols) <= 2
+        if use_rank:
+            G = rank_groups(vcols)
+            compute = rows * nodes * (
+                cal.fold_node_ns / 1e9 * 0.15 + 128.0 * G / 206e12
+            )
+            compute += _rank_transform_cost(forest, vcols, rows)
+            return CostBreakdown(compute, 0.0, dispatch)
         compute = rows * nodes * cal.fold_node_ns / 1e9
         if int(depths.max(initial=0)) >= 12:
-            compute *= 1.5  # deep buckets run split-mode folds (see below)
+            compute *= 1.3  # deep buckets run split-mode folds (see below)
         row_tile, _ = feasibility.default_tiles(Strategy.SPLIT_FOREST, forest)
         passes = max(1.0, rows / row_tile)
         # each bucket streams its own (truncated) tables
@@ -154,9 +179,9 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
     compute = rows * nodes_per_row * cal.fold_node_ns / 1e9
     if forest.depth >= 12:
         # deep forests force the fold kernel into subtree-split mode whose
-        # narrow per-subtree folds run ~1.5x the shallow per-node cost
-        # (v5e: 3.3-3.9 ps/node at depth 12-14 vs 2.4 shallow)
-        compute *= 1.5
+        # narrow per-subtree folds run ~1.3x the shallow per-node cost
+        # (v5e r4 sweep: 3.1-3.7 ps/node at depth 12-14 vs 2.4-2.6 shallow)
+        compute *= 1.3
     passes = max(1.0, rows / row_tile)
     memory = passes * _table_bytes(forest) / (cal.hbm_gbps * 1e9)
     if strategy == Strategy.VMEM_FOREST:
