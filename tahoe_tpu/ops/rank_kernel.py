@@ -78,6 +78,15 @@ class RankFoldConfig(NamedTuple):
     # psum-on-chip analog of the reference's DeviceSegmentedReduce,
     # Struct.h:655-659)
     tree_outer: bool = False
+    # split-mode analog of tree_outer: grid = (tree tiles, subtree groups,
+    # row tiles) with rows INNERMOST, so each streamed bottom slab loads into
+    # VMEM once per ROW CHUNK instead of once per row tile (deep-forest rank
+    # is stream-bound; this divides the dominant HBM traffic by the number of
+    # row tiles per chunk). Needs a roots scratch covering every row tile of
+    # the chunk: [SG * chunk_tiles, Rt, 128] f32. 0 = off (row-outer grid);
+    # > 0 = the row-chunk cap in rows (a multiple of row_tile, sized by the
+    # engine so the scratch fits the VMEM budget).
+    stream_chunk_rows: int = 0
 
 
 def _make_kernel(cfg: RankFoldConfig):
@@ -199,20 +208,30 @@ def _make_kernel(cfg: RankFoldConfig):
     return kernel
 
 
-def _make_split_kernel(cfg: RankFoldConfig):
+def _make_split_kernel(cfg: RankFoldConfig, stream_r_tiles: int = 0):
     """Subtree-blocked deep variant (split_level > 0).
 
-    Grid = (row tiles, tree tiles, subtree groups), groups innermost. Each
-    step folds one group of g = 128/TR bottom subtrees — laid out as a
-    virtual tile of 128 virtual trees (col = c*128 + s_local*TR + tr, c the
-    subtree-local bit-reversed node index) — and stores the group's 128 root
-    values into scratch row s. The final group's step folds the top
-    ``split_level`` levels over the scratch (whose flat column order is
-    exactly the standard node-major layout at level Ls: col = s*TR + tr) and
-    accumulates margins across tree tiles. The TPU rendition of streaming
-    tree chunks through fast memory (reference SPLIT_FOREST,
-    Struct.h:1414-1606) applied along the *depth* axis, where the rank form's
-    128 B/node matrices make whole-tree residency impossible.
+    Row-outer form (stream_r_tiles == 0): grid = (row tiles, tree tiles,
+    subtree groups), groups innermost. Each step folds one group of
+    g = 128/TR bottom subtrees — laid out as a virtual tile of 128 virtual
+    trees (col = c*128 + s_local*TR + tr, c the subtree-local bit-reversed
+    node index) — and stores the group's 128 root values into scratch row s.
+    The final group's step folds the top ``split_level`` levels over the
+    scratch (whose flat column order is exactly the standard node-major
+    layout at level Ls: col = s*TR + tr) and accumulates margins across tree
+    tiles. The TPU rendition of streaming tree chunks through fast memory
+    (reference SPLIT_FOREST, Struct.h:1414-1606) applied along the *depth*
+    axis, where the rank form's 128 B/node matrices make whole-tree
+    residency impossible.
+
+    Stream-once form (stream_r_tiles = row tiles per chunk > 0): grid =
+    (tree tiles, subtree groups, ROW tiles) with rows innermost, so each
+    bottom slab stays VMEM-resident while every row tile of the chunk
+    revolves through it — the slab streams once per chunk instead of once
+    per row tile. Roots scratch holds every row tile's group roots
+    ([SG * stream_r_tiles, Rt, 128], slot = s * stream_r_tiles + r); each
+    (t, r) writes its own partial-margin slab (tree_outer-style), summed by
+    XLA afterwards.
     """
     D = cfg.depth
     TR = cfg.tree_tile
@@ -227,7 +246,7 @@ def _make_split_kernel(cfg: RankFoldConfig):
         bot_refs = refs[Ls:D]  # bot_refs[b] = level Ls+b, this group's slab
         leaf_ref = refs[D]
         out_ref = refs[D + 1]
-        roots_ref = refs[D + 2]  # VMEM scratch [SG, Rt, 128]
+        roots_ref = refs[D + 2]  # VMEM scratch [SG(*r_tiles), Rt, 128]
 
         planes = p_ref[:]  # [Rt, 128*G] int8
 
@@ -238,8 +257,19 @@ def _make_split_kernel(cfg: RankFoldConfig):
             )
             return diff >= 0
 
-        s = pl.program_id(2)
-        t = pl.program_id(1)
+        if stream_r_tiles:
+            t = pl.program_id(0)
+            s = pl.program_id(1)
+            r = pl.program_id(2)
+
+            def roots_slot(i):
+                return i * stream_r_tiles + r
+        else:
+            s = pl.program_id(2)
+            t = pl.program_id(1)
+
+            def roots_slot(i):
+                return i
 
         # ---- bottom fold: one group = 128 virtual trees of depth Db ----
         w = None
@@ -262,13 +292,13 @@ def _make_split_kernel(cfg: RankFoldConfig):
                     lo, hi = w[0][:, :n], w[0][:, n : 2 * n]
                 new_w.append(jnp.where(cnd, hi, lo))
             w = new_w
-        roots_ref[s] = w[0]  # [Rt, 128] group root values
+        roots_ref[roots_slot(s)] = w[0]  # [Rt, 128] group root values
 
         # ---- top fold over all groups' roots, last group only ----
         @pl.when(s == SG - 1)
         def _top():
             def scratch_cols(c0, width):
-                parts = [roots_ref[i]
+                parts = [roots_ref[roots_slot(i)]
                          for i in range(c0 // LANE, (c0 + width) // LANE)]
                 return parts[0] if len(parts) == 1 else jnp.concatenate(
                     parts, axis=1)
@@ -305,6 +335,10 @@ def _make_split_kernel(cfg: RankFoldConfig):
             else:
                 partial = jnp.sum(wv, axis=1, keepdims=True)
 
+            if stream_r_tiles:
+                out_ref[0] = partial  # own [1, Rt, 1] slab of the partials
+                return
+
             @pl.when(t == 0)
             def _init():
                 out_ref[:] = partial
@@ -321,6 +355,52 @@ def rank_fold_margins(cfg: RankFoldConfig, tables, planes_pad):
     Rt = cfg.row_tile
     G = cfg.groups
     Ls = cfg.split_level
+
+    if Ls and cfg.stream_chunk_rows:
+        # stream-once grid: rows innermost, bottom slabs load once per chunk
+        Db = cfg.depth - Ls
+        SG = (cfg.tree_tile << Ls) // LANE
+        n_tiles = cfg.padded_trees // cfg.tree_tile
+        from tahoe_tpu.ops.mosaic import compile_kwargs
+
+        def run_chunk(planes_chunk):
+            rc = planes_chunk.shape[0]
+            r_tiles = rc // Rt
+            grid = (n_tiles, SG, r_tiles)
+            in_specs = [pl.BlockSpec((Rt, LANE * G), lambda t, s, r: (r, 0),
+                                     memory_space=pltpu.VMEM)]
+            for d in range(Ls):
+                in_specs += [pl.BlockSpec((LANE * G, cfg.seg[d]),
+                                          lambda t, s, r: (0, t),
+                                          memory_space=pltpu.VMEM)]
+            for b in range(Db):
+                in_specs += [pl.BlockSpec(
+                    (LANE * G, (1 << b) * LANE),
+                    lambda t, s, r, _sg=SG: (0, t * _sg + s),
+                    memory_space=pltpu.VMEM)]
+            in_specs += [pl.BlockSpec(
+                (1, (1 << Db) * LANE),
+                lambda t, s, r, _sg=SG: (0, t * _sg + s),
+                memory_space=pltpu.VMEM)]
+            out_spec = pl.BlockSpec((1, Rt, 1), lambda t, s, r: (t, r, 0),
+                                    memory_space=pltpu.VMEM)
+            partials = pl.pallas_call(
+                _make_split_kernel(cfg, stream_r_tiles=r_tiles),
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_spec,
+                out_shape=jax.ShapeDtypeStruct((n_tiles, rc, 1), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((SG * r_tiles, Rt, LANE),
+                                           jnp.float32)],
+                interpret=cfg.interpret,
+                **compile_kwargs(cfg.interpret),
+            )(planes_chunk, *tables)
+            return jnp.sum(partials[:, :, 0], axis=0)
+
+        C = max(Rt, (cfg.stream_chunk_rows // Rt) * Rt)
+        outs = [run_chunk(planes_pad[c0 : min(c0 + C, rows)])
+                for c0 in range(0, rows, C)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     if Ls:
         Db = cfg.depth - Ls
@@ -426,6 +506,7 @@ class RankFoldEngine:
                  prequantized=None, cond_lead: bool = False,
                  chunk_lead: bool = False,
                  tree_outer: bool | None = None, col_chunk: int | None = None,
+                 stream_once: bool | None = None,
                  limits: TpuLimits = TpuLimits()):
         if forest.num_cols > RANK_MAX_COLS:
             raise NotImplementedError(
@@ -513,6 +594,16 @@ class RankFoldEngine:
                 f"tile needs ~{need/2**20:.1f} MiB VMEM > budget "
                 f"{budget/2**20:.1f} MiB"
             )
+
+        # stream-once split grid (rows innermost): the roots scratch must
+        # hold every row tile of a chunk, so size the chunk by the VMEM
+        # headroom left over after the per-row-tile working set
+        self.stream_chunk_rows = 0
+        if split_level and stream_once is not False:
+            scratch_tile = row_tile * (self.tree_tile << split_level) * 4
+            max_tiles = (budget - (need - scratch_tile)) // scratch_tile
+            if max_tiles >= 2 or stream_once:
+                self.stream_chunk_rows = int(max(1, max_tiles)) * row_tile
 
         self._build_tables(lev)
         self._predict = jax.jit(self._predict_impl)
@@ -705,6 +796,7 @@ class RankFoldEngine:
             chunk_lead=self.chunk_lead, col_chunk=self.col_chunk,
             tree_outer=(self.tree_outer if self.tree_outer is not None
                         else self.split_level == 0),
+            stream_chunk_rows=self.stream_chunk_rows,
         )
 
     # ------------------------------------------------------------------

@@ -117,6 +117,34 @@ def test_split_level_validation():
         RankFoldEngine(forest, tree_tile=8, split_level=2, interpret=True)
 
 
+@pytest.mark.parametrize("depth,trees,cols,tt,ls", [
+    (5, 40, 8, 32, 2),    # SG=1: every step is its own top fold
+    (8, 10, 8, 8, 5),     # SG=2 subtree groups per tree tile
+    (11, 12, 18, 8, 6),   # deep: Db=5, streamed bottom subtrees
+])
+def test_stream_once_matches_row_outer(depth, trees, cols, tt, ls):
+    """The stream-once grid (rows innermost, bottom slabs resident per
+    chunk) is a pure schedule change: identical results to the row-outer
+    split grid, including when rows span multiple chunks."""
+    forest = synthetic.generate_forest(trees, depth, cols, leaf_prob=0.1,
+                                       seed=depth * 7 + trees)
+    data = synthetic.generate_data(53, cols, missing_prob=0.1, seed=depth + 3)
+    eng = _engine(forest, row_tile=8, tree_tile=tt, split_level=ls,
+                  stream_once=True)
+    assert eng.stream_chunk_rows > 0
+    # force multi-chunk execution: cap the chunk at two row tiles
+    eng.cfg = eng.cfg._replace(stream_chunk_rows=16)
+    import jax
+
+    eng._predict = jax.jit(eng._predict_impl)
+    got = np.asarray(eng.predict(data))
+    base = _engine(forest, row_tile=8, tree_tile=tt, split_level=ls,
+                   stream_once=False)
+    assert base.stream_chunk_rows == 0
+    np.testing.assert_allclose(got, np.asarray(base.predict(data)), atol=0)
+    np.testing.assert_allclose(got, oracle.predict(forest, data), atol=1e-5)
+
+
 @pytest.mark.parametrize("depth,trees,cols,band,ls", [
     (5, 30, 6, 37, None),   # band split active, no subtree split
     (6, 40, 10, 64, 1),     # band split + subtree split together
