@@ -92,11 +92,13 @@ def main() -> int:
     err = float(np.abs(np.asarray(preds) - want).max())
 
     # --- secondary: int8 rank-MXU engine ------------------------------------
-    # (256, 128) whole-level tree-outer measured best on v5e
-    # (scripts/ls0_sweep.sh: 0.145 full / 0.134 plane-resident us/sample)
+    # (1024, 128) auto-split (ls4) measured best in r2 (scripts/ls_sweep2-4):
+    # 0.111-0.118 plane-resident / 0.116-0.136 full us/sample same-session —
+    # big row tiles amortize MXU weight loads, subtree-split keeps fold
+    # chains vreg-resident
     rank = RankFoldEngine(
-        forest, row_tile=256, tree_tile=128, interpret=interpret,
-        limits=TpuLimits(),
+        forest, row_tile=1024, tree_tile=128, split_level=4,
+        interpret=interpret, limits=TpuLimits(),
     )
     t_rank_full = slope(lambda k: rank.predict_k(data_d, k), k1, k2)
     us_rank_full = t_rank_full * 1e6 / args.rows

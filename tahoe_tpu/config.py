@@ -76,6 +76,14 @@ class Strategy(enum.Enum):
     # as complete trees of the global max depth; spiritual successor of the
     # reference's similar-tree clustering (Struct.h:1854-1891).
     DEPTH_BUCKETED = 7
+    # CSR sparse descent (forest/sparse.py): pruned node pool in HBM,
+    # level-synchronous masked gather advance. The realization of the
+    # reference's dormant sparse path (sparse_forest + infer_sparse,
+    # Struct.h:2217-2353; dense2sparse commented out at
+    # BaseTahoeTest.h:728-846). The only strategy whose storage is the TRUE
+    # node count — very deep trained ensembles (depth > 15, mostly-empty
+    # complete trees) are infeasible for every dense engine and land here.
+    SPARSE = 8
 
     @property
     def strategy_number(self) -> int:

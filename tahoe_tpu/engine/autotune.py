@@ -50,7 +50,10 @@ def tile_candidates(strategy: Strategy, spec: ForestSpec):
     come first; extra candidates are the measured near-winners on v5e
     (scripts/tile_sweep.py). Infeasible candidates fail cleanly in the worker
     and are skipped."""
-    if strategy in (Strategy.SPLIT_FOREST, Strategy.RANK_MXU):
+    if strategy == Strategy.RANK_MXU:
+        # defaults first; (1024, 128) auto-split was the r2 SUSY-class winner
+        cands = [None, (1024, 128), (512, 128), (256, 128), (128, 64)]
+    elif strategy == Strategy.SPLIT_FOREST:
         cands = [None, (128, 64), (128, 128), (256, 64)]
     elif strategy == Strategy.VMEM_FOREST:
         cands = [None, (128, max(8, spec.num_trees))]

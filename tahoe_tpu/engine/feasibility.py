@@ -14,7 +14,21 @@ import numpy as np
 
 from tahoe_tpu.config import Strategy, TpuLimits
 from tahoe_tpu.forest.spec import ForestSpec
-from tahoe_tpu.ops.fold_kernel import LANE, FoldKernelEngine
+from tahoe_tpu.ops.fold_kernel import LANE, MAX_SIGN_COLS, FoldKernelEngine
+
+
+def fold_cols(forest: ForestSpec) -> Tuple[int, bool, int, bool]:
+    """(live_cols, ge_ok, vregs, sign_form) for the fold engines, mirroring
+    FoldKernelEngine's auto compaction + ge-form choice."""
+    from tahoe_tpu.forest.compiler import used_features
+
+    cols = forest.num_cols
+    if cols > LANE or 2 * cols > LANE:
+        cols = max(1, used_features(forest).size)
+    ge_ok = cols <= MAX_SIGN_COLS
+    sign = ge_ok and 2 * cols > LANE
+    vregs = -(-cols // LANE) if sign else 1
+    return cols, ge_ok, vregs, sign
 
 
 def default_tiles(strategy: Strategy, forest: ForestSpec,
@@ -26,14 +40,15 @@ def default_tiles(strategy: Strategy, forest: ForestSpec,
     fit the budget.
     """
     trees = forest.num_trees
-    ge_ok = 2 * forest.num_cols <= LANE
+    _, ge_ok, vregs, sign = fold_cols(forest)
     if strategy == Strategy.VMEM_FOREST:
         # pow2 like the engine's internal rounding — sizing with the raw
         # tree count let infeasible configs through (engine rounds up)
         tree_tile = 1 << (max(8, trees) - 1).bit_length()
         row_tile = 256
         while row_tile > 8 and FoldKernelEngine.min_vmem_bytes(
-            forest.depth, row_tile, tree_tile, ge_ok, trees
+            forest.depth, row_tile, tree_tile, ge_ok, trees,
+            vregs=vregs, sign_form=sign,
         ) > limits.fold_usable_vmem:
             row_tile //= 2
         return row_tile, tree_tile
@@ -50,7 +65,8 @@ def default_tiles(strategy: Strategy, forest: ForestSpec,
     for row_tile, tree_tile in prefs:
         tt = 1 << (min(tree_tile, max(8, trees)) - 1).bit_length()
         if FoldKernelEngine.min_vmem_bytes(
-            forest.depth, row_tile, tt, ge_ok, trees
+            forest.depth, row_tile, tt, ge_ok, trees,
+            vregs=vregs, sign_form=sign,
         ) <= limits.fold_usable_vmem:
             return row_tile, tt
     return 8, 8
@@ -61,8 +77,10 @@ def check(strategy: Strategy, forest: ForestSpec,
     """None if feasible, else a human-readable reason (the strategy is then
     skipped with cost=inf, mirroring the reference's acc=FLT_MAX)."""
     if strategy in (Strategy.VMEM_FOREST, Strategy.SPLIT_FOREST):
-        if forest.num_cols > LANE:
-            return f"fold kernel needs <= {LANE} features, forest has {forest.num_cols}"
+        cols, ge_ok, vregs, sign = fold_cols(forest)
+        if cols > MAX_SIGN_COLS:
+            return (f"fold kernel needs <= {MAX_SIGN_COLS} live features, "
+                    f"forest has {cols}")
         if forest.depth > 14:
             # the fully-unrolled fold at depth 15 blows up Mosaic compile
             # time (>8 min measured on v5e — effectively a hang; the rank
@@ -70,8 +88,8 @@ def check(strategy: Strategy, forest: ForestSpec,
             return f"fold kernel compile explodes beyond depth 14 (depth {forest.depth})"
         row_tile, tree_tile = default_tiles(strategy, forest, limits)
         need = FoldKernelEngine.min_vmem_bytes(
-            forest.depth, row_tile, tree_tile, 2 * forest.num_cols <= LANE,
-            forest.num_trees,
+            forest.depth, row_tile, tree_tile, ge_ok, forest.num_trees,
+            vregs=vregs, sign_form=sign,
         )
         if need > limits.fold_usable_vmem:
             return (
@@ -82,11 +100,28 @@ def check(strategy: Strategy, forest: ForestSpec,
         # leveled form materializes 2^depth leaves per tree
         if forest.depth > 14:
             return f"leveled form of depth {forest.depth} is too large"
+    if strategy == Strategy.HBM_DIRECT:
+        # dense complete-tree tables blow up with depth regardless of real
+        # node count (Struct.h:19-21 pays the same); cap the packed upload
+        from tahoe_tpu.config import forest_num_nodes
+
+        dense_bytes = forest_num_nodes(forest.num_trees, forest.depth) * 8
+        if dense_bytes > 2 << 30:
+            return (f"dense node tables ~{dense_bytes / 2**30:.1f} GiB "
+                    f"(complete-tree storage at depth {forest.depth})")
+    if strategy == Strategy.SPARSE:
+        from tahoe_tpu.forest.compiler import reachable_mask
+
+        pool = int(reachable_mask(forest).sum())
+        if pool * 16 > 2 << 30:
+            return f"sparse node pool ~{pool * 16 / 2**30:.1f} GiB"
     if strategy == Strategy.DEPTH_BUCKETED:
         from tahoe_tpu.forest.compiler import reachable_depths
 
-        if forest.num_cols > LANE:
-            return f"fold kernel needs <= {LANE} features, forest has {forest.num_cols}"
+        cols, ge_ok, vregs, sign = fold_cols(forest)
+        if cols > MAX_SIGN_COLS:
+            return (f"fold kernel needs <= {MAX_SIGN_COLS} live features, "
+                    f"forest has {cols}")
         depths = reachable_depths(forest)
         if np.unique(depths).size < 2:
             return (
@@ -95,8 +130,8 @@ def check(strategy: Strategy, forest: ForestSpec,
         row_tile, tree_tile = default_tiles(Strategy.SPLIT_FOREST, forest,
                                             limits)
         need = FoldKernelEngine.min_vmem_bytes(
-            int(depths.max()), row_tile, min(tree_tile, 8),
-            2 * forest.num_cols <= LANE, forest.num_trees,
+            int(depths.max()), row_tile, min(tree_tile, 8), ge_ok,
+            forest.num_trees, vregs=vregs, sign_form=sign,
         )
         if need > limits.fold_usable_vmem:
             return (
@@ -107,15 +142,14 @@ def check(strategy: Strategy, forest: ForestSpec,
         from tahoe_tpu.forest.compiler import RANK_MAX_COLS
         from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 
-        if forest.num_cols > RANK_MAX_COLS:
-            return f"rank-MXU form supports <= {RANK_MAX_COLS} features"
+        # the engine compacts to live features before quantizing, and
         # features with too many distinct thresholds split into banded
-        # virtual features (quantize.band_split); total bands must fit the
-        # plane-group budget
+        # virtual features (quantize.band_split); total bands (over live
+        # features) must fit the plane-group budget
         vcols = rank_virtual_cols(forest)
         if vcols > RANK_MAX_COLS:
             return (
-                f"forest needs {vcols} banded virtual features "
+                f"forest needs {vcols} banded virtual live features "
                 f"> {RANK_MAX_COLS}"
             )
         row_tile, tree_tile = rank_default_tiles(forest, limits)
@@ -129,48 +163,52 @@ def check(strategy: Strategy, forest: ForestSpec,
 
 
 def rank_virtual_cols(forest: ForestSpec) -> int:
-    """Virtual feature count after rank band splitting (= num_cols when every
-    feature has <= RANK_MAX distinct thresholds)."""
-    import numpy as np
+    """Virtual feature count after rank band splitting over LIVE features
+    (= live count when every feature has <= RANK_MAX distinct thresholds).
 
-    from tahoe_tpu.forest.compiler import RANK_MAX
+    Single lexsort over internal (fid, threshold) pairs instead of a per-
+    feature unique() — the per-feature loop was O(F * nodes) and gisette-class
+    forests have thousands of columns."""
+    from tahoe_tpu.forest.compiler import RANK_MAX, reachable_mask
 
-    internal = ~forest.is_leaf
-    total = 0
-    for f in range(forest.num_cols):
-        m = internal & (forest.fids == f)
-        k = int(np.unique(forest.values[m]).size) if m.any() else 0
-        total += max(1, -(-k // RANK_MAX))
-    return total
+    internal = ~forest.is_leaf & reachable_mask(forest)
+    if not internal.any():
+        return 1
+    f = forest.fids[internal].ravel()
+    v = forest.values[internal].ravel()
+    order = np.lexsort((v, f))
+    fs, vs = f[order], v[order]
+    new = np.ones(fs.size, bool)
+    new[1:] = (fs[1:] != fs[:-1]) | (vs[1:] != vs[:-1])
+    k = np.bincount(fs[new], minlength=forest.num_cols)
+    live = np.unique(fs)
+    return int(sum(max(1, -(-int(k[ff]) // RANK_MAX)) for ff in live))
 
 
 def rank_default_tiles(forest: ForestSpec, limits: TpuLimits = TpuLimits()):
     """(row_tile, tree_tile) for the rank-MXU engine, or (None, None) when
     nothing fits.
 
-    Whole-level (split 0) configs are preferred over ANY subtree-split
-    config: split mode re-streams the bottom-level matrices for every row
-    tile, and whole-level measured 23-25% faster wherever both fit (deep-12
-    0.54 vs 0.70, deep-13 1.12 vs 1.49 us/sample on v5e). Among whole-level
-    configs the preference order is the measured v5e ranking — (256, 128)
-    best on SUSY-class, (128, 16/8) for deep forests where the select
-    frontier dominates the budget. The engine then re-derives the split
-    level from the same estimates."""
+    Preference order is the measured ranking (scripts/ls_sweep2-4.py, r2):
+    BIG row tiles first, letting the engine pick the smallest fitting split
+    level — the kernel's matmuls are MXU weight-load bound below ~1024 rows
+    per dot, and the subtree-split form keeps fold chains vreg-resident
+    (SUSY-class: rt1024/tt128 auto-split ls4 0.111 vs whole-level rt256
+    0.133 us/sample same-session; stream-chunk mode removed split's old
+    re-streaming penalty). Acceptance therefore uses the min VMEM over split
+    levels; deep forests fall through to the small-row-tile entries."""
     from tahoe_tpu.forest.compiler import rank_groups
     from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 
     g = rank_groups(rank_virtual_cols(forest))
     budget = limits.usable_vmem
-    prefs = [(256, 128), (128, 128), (128, 64), (128, 32), (128, 16),
-             (128, 8), (64, 32), (64, 16), (64, 8), (256, 16),
-             (32, 8), (16, 8)]
-    fallback = None
+    prefs = [(1024, 128), (512, 128), (256, 128), (128, 128), (128, 64),
+             (128, 32), (128, 16), (128, 8), (64, 32), (64, 16), (64, 8),
+             (256, 16), (32, 8), (16, 8)]
     for rt, tt in prefs:
         tt2 = 1 << (min(tt, max(8, forest.num_trees)) - 1).bit_length()
-        if RankFoldEngine.vmem_bytes(forest.depth, rt, tt2, g, 0) <= budget:
-            return rt, tt2
-        if fallback is None and RankFoldEngine.min_vmem_bytes(
+        if RankFoldEngine.min_vmem_bytes(
             forest.depth, rt, tt2, g
         ) <= budget:
-            fallback = (rt, tt2)
-    return fallback if fallback is not None else (None, None)
+            return rt, tt2
+    return (None, None)

@@ -97,6 +97,10 @@ class Forest:
             from tahoe_tpu.ops.gather_engine import GatherEngine
 
             eng = GatherEngine(self.compiled)
+        elif strategy == Strategy.SPARSE:
+            from tahoe_tpu.forest.sparse import SparseGatherEngine, from_dense
+
+            eng = SparseGatherEngine(from_dense(self.spec))
         elif strategy == Strategy.RANK_MXU:
             from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 

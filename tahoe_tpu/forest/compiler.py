@@ -330,6 +330,67 @@ def levelize(forest: ForestSpec, *, truncate: bool = True) -> LeveledForest:
 
 
 # ----------------------------------------------------------------------
+# Pass 5b: used-feature compaction
+# ----------------------------------------------------------------------
+
+def used_features(forest: ForestSpec) -> np.ndarray:
+    """Sorted distinct feature ids referenced by REACHABLE internal nodes.
+
+    Trained forests on wide datasets (gisette-class: thousands of columns)
+    reference only the informative subset; everything else is dead weight the
+    reference's kernels carry in every cached row (Struct.h:416-423). Engines
+    use this to remap live fids into a compact range and gather only the live
+    data columns — exact, because a forest's predictions depend only on the
+    columns its reachable internal nodes compare."""
+    m = reachable_mask(forest) & ~forest.is_leaf
+    if not m.any():
+        return np.zeros(0, np.int32)
+    return np.unique(forest.fids[m]).astype(np.int32)
+
+
+def compact_features(forest: ForestSpec):
+    """ForestSpec → (compacted ForestSpec, col_index | None).
+
+    Remaps live fids to [0, n_used); ``col_index`` maps compact column →
+    original data column (callers gather rows as ``x[:, col_index]``).
+    Returns (forest, None) unchanged when every column is used. Unreachable /
+    leaf fid slots remap to 0 (their compares never influence a prediction —
+    the fold's ancestor selects discard them)."""
+    used = used_features(forest)
+    if used.size >= forest.num_cols:
+        return forest, None
+    if used.size == 0:
+        used = np.zeros(1, np.int32)  # num_cols must stay positive
+    remap = np.zeros(forest.num_cols, np.int32)
+    remap[used] = np.arange(used.size, dtype=np.int32)
+    out = forest.copy()
+    out.num_cols = int(used.size)
+    out.fids = remap[forest.fids]
+    return out, used
+
+
+def compact_leveled(lev: LeveledForest):
+    """LeveledForest → (compacted LeveledForest, col_index | None).
+
+    Same rewrite at the derived-form level (levelize zeroes the fids of
+    pass-through nodes, so every fid present in the level tables is live)."""
+    import dataclasses
+
+    if lev.depth == 0 or not lev.fid:
+        return lev, None
+    used = np.unique(np.concatenate([f.ravel() for f in lev.fid]))
+    used = used.astype(np.int32)
+    if used.size >= lev.num_cols:
+        return lev, None
+    remap = np.zeros(lev.num_cols, np.int32)
+    remap[used] = np.arange(used.size, dtype=np.int32)
+    out = dataclasses.replace(
+        lev, num_cols=int(used.size), fid=[remap[f] for f in lev.fid]
+    )
+    return out, used
+
+
+# ----------------------------------------------------------------------
 # Pass 6: ge-normalization (single-compare form)
 # ----------------------------------------------------------------------
 

@@ -23,6 +23,7 @@ def generate_forest(
     global_bias: float = 0.0,
     threshold: float = 0.5,
     missing: float = float("nan"),
+    active_cols: int | None = None,
     seed: int = 42,
 ) -> ForestSpec:
     """Random complete forest.
@@ -32,6 +33,11 @@ def generate_forest(
     BaseTahoeTest.h:169-183). Nodes below an early leaf are unreachable; they
     are still populated (the storage is a complete tree) exactly like the
     reference's.
+
+    ``active_cols``: draw fids from a random subset of this many columns —
+    the realistic shape of forests trained on wide datasets (gisette has
+    2,500 noise "probe" features by construction; trained trees concentrate
+    on the informative subset). Exercises used-feature compaction.
     """
     rng = np.random.default_rng(seed)
     n = tree_num_nodes(depth)
@@ -39,7 +45,11 @@ def generate_forest(
 
     values = rng.uniform(-1.0, 1.0, size=shape).astype(np.float32)
     weights = rng.uniform(0.0, 1.0, size=shape).astype(np.float32)
-    fids = rng.integers(0, num_cols, size=shape, dtype=np.int32)
+    if active_cols is not None and active_cols < num_cols:
+        pool = np.sort(rng.choice(num_cols, size=active_cols, replace=False))
+        fids = pool[rng.integers(0, active_cols, size=shape)].astype(np.int32)
+    else:
+        fids = rng.integers(0, num_cols, size=shape, dtype=np.int32)
     def_left = rng.random(shape) < 0.5
     is_leaf = rng.random(shape) < leaf_prob
     # Complete-tree invariant: deepest level is all leaves.

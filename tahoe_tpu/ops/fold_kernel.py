@@ -50,6 +50,8 @@ from tahoe_tpu.forest.spec import LeveledForest
 from tahoe_tpu.ops.transform import apply_output_transform
 
 LANE = 128
+# sign-form multi-vreg ceiling: V = ceil(F/128) feature vregs, V <= 4
+MAX_SIGN_COLS = 4 * LANE
 
 
 class FoldConfig(NamedTuple):
@@ -68,6 +70,18 @@ class FoldConfig(NamedTuple):
     # ge mode: single-compare tables from compiler.ge_normalize — one lane
     # gather + one >= per node, missing/exchange folded away at compile time
     ge: bool = False
+    # sign-form ge (multi-vreg): rows keep V = ceil(F/128) feature vregs
+    # instead of the dual [x, -x] single vreg; each node's table row carries
+    # (lane, vreg, sign) and the condition is
+    #   gather(x_vreg, lane) * sign >= t'
+    # — the ``x < t  <=>  -x >= nextafter(-t)`` rewrite applied by a static
+    # f32 multiply instead of a negated lane. Lifts the fused kernel's
+    # feature ceiling from 64 (dual ge) to 512 live features; the TPU
+    # rendition of the reference's ceiling-free row caching
+    # (Struct.h:416-423). Requires ge=True.
+    sign_form: bool = False
+    # feature vregs (sign form); x blocks are [row_tile, 128*vregs]
+    vregs: int = 1
     # deep-forest subtree blocking (ge mode only): levels > split_level are
     # folded one bottom subtree at a time, capping the live w buffer at
     # ~2^(depth-split_level-1)*TR + 2^split_level*TR columns instead of
@@ -109,21 +123,46 @@ class FoldKernelEngine:
         interpret: bool = False,
         ge_mode: bool | None = None,
         split_level: int | None = None,
+        col_index=None,
         limits: TpuLimits = TpuLimits(),
     ):
-        if leveled.num_cols > LANE:
+        # used-feature compaction: wide forests (gisette-class) reference only
+        # a subset of columns; remap live fids and gather only those data
+        # columns (exact — compiler.compact_features). Callers that already
+        # compacted pass col_index explicitly. The reference has no feature
+        # ceiling (rows cached whole, Struct.h:416-423); compaction + the
+        # multi-vreg x blocks below are the TPU rendition of "no ceiling".
+        self._col_index = None
+        if col_index is not None:
+            self._col_index = np.asarray(col_index, np.int32)
+        elif leveled.num_cols > LANE or (
+            ge_mode is not False and 2 * leveled.num_cols > LANE
+        ):
+            from tahoe_tpu.forest.compiler import compact_leveled
+
+            leveled, used = compact_leveled(leveled)
+            if used is not None:
+                self._col_index = used
+        if leveled.num_cols > MAX_SIGN_COLS:
             raise NotImplementedError(
-                f"FoldKernelEngine supports up to {LANE} features; got "
-                f"{leveled.num_cols} (use TensorEngine or split features)"
+                f"FoldKernelEngine supports up to {MAX_SIGN_COLS} live "
+                f"features; got {leveled.num_cols} (use TensorEngine)"
             )
-        # single-compare mode needs [x, -x] in one 128-lane vreg
+        # ge has two realizations: dual-lane [x, -x] in ONE vreg (needs
+        # 2F <= 128; 3 VPU ops/node) and the sign-form multi-vreg variant
+        # (F <= MAX_SIGN_COLS; V-way gather-select + sign multiply). Auto:
+        # dual when it fits, sign form for wider forests, non-ge only when
+        # explicitly requested.
         if ge_mode is None:
-            ge_mode = 2 * leveled.num_cols <= LANE
-        elif ge_mode and 2 * leveled.num_cols > LANE:
-            raise ValueError(
-                f"ge_mode needs 2*num_cols <= {LANE}; got {leveled.num_cols}"
+            ge_mode = leveled.num_cols <= MAX_SIGN_COLS
+        if ge_mode and leveled.num_cols > MAX_SIGN_COLS:
+            raise NotImplementedError(
+                f"sign-form ge supports <= {MAX_SIGN_COLS} live features; got "
+                f"{leveled.num_cols}"
             )
         self.ge_mode = ge_mode
+        self.sign_form = bool(ge_mode and 2 * leveled.num_cols > LANE)
+        self.vregs = _cdiv(leveled.num_cols, LANE) if self.sign_form else 1
         self.depth = leveled.depth
         self.num_trees = leveled.num_trees
         self.num_cols = leveled.num_cols
@@ -146,7 +185,8 @@ class FoldKernelEngine:
             )
             split_level = next(
                 (ls for ls in candidates if self.vmem_bytes(
-                    leveled.depth, self.row_tile, self.tree_tile, ls, n_tiles
+                    leveled.depth, self.row_tile, self.tree_tile, ls, n_tiles,
+                    vregs=self.vregs, sign_form=self.sign_form,
                 ) <= limits.fold_usable_vmem),
                 candidates[0],
             )
@@ -161,7 +201,8 @@ class FoldKernelEngine:
         self.split_level = split_level
 
         need = self.vmem_bytes(leveled.depth, self.row_tile, self.tree_tile,
-                               split_level, n_tiles)
+                               split_level, n_tiles, vregs=self.vregs,
+                               sign_form=self.sign_form)
         if not interpret and need > limits.fold_usable_vmem:
             raise ValueError(
                 f"tile needs ~{need/2**20:.1f} MiB VMEM > budget "
@@ -179,7 +220,8 @@ class FoldKernelEngine:
     # ------------------------------------------------------------------
     @staticmethod
     def vmem_bytes(depth: int, row_tile: int, tree_tile: int,
-                   split_level: int = 0, tree_tiles: int = 2) -> int:
+                   split_level: int = 0, tree_tiles: int = 2,
+                   vregs: int = 1, sign_form: bool = False) -> int:
         """Rough peak VMEM estimate for feasibility checks: level tables
         (x2 when the tree grid revolves — Pallas double-buffers streamed
         input blocks; a single tree tile needs no lookahead buffer) plus the
@@ -189,7 +231,9 @@ class FoldKernelEngine:
         roots."""
         nodes = (1 << depth) - 1
         buf = 2 if tree_tiles > 1 else 1
-        tables = buf * tree_tile * (nodes * (4 + 4 + 1 + 1) + (1 << depth) * 4)
+        # sign form adds int32 vsel + f32 sign tables per node
+        per_node = 16 if sign_form else (4 + 4 + 1 + 1)
+        tables = buf * tree_tile * (nodes * per_node + (1 << depth) * 4)
         if split_level > 0:
             # empirical x2: Mosaic keeps more of the per-subtree chunk chains
             # live than the steady-state model (depth-13 TR=32 OOMed at an
@@ -201,7 +245,7 @@ class FoldKernelEngine:
         else:
             w_top = row_tile * (1 << max(depth - 1, 0)) * tree_tile * 4
             w_live = w_top + w_top // 4
-        return int(tables + w_live + row_tile * LANE * 8)
+        return int(tables + w_live + row_tile * LANE * vregs * 8)
 
     @classmethod
     def valid_split_levels(cls, depth: int, tree_tile: int,
@@ -220,11 +264,13 @@ class FoldKernelEngine:
 
     @classmethod
     def min_vmem_bytes(cls, depth: int, row_tile: int, tree_tile: int,
-                       ge_mode: bool = True, num_trees: int = 0) -> int:
+                       ge_mode: bool = True, num_trees: int = 0,
+                       vregs: int = 1, sign_form: bool = False) -> int:
         """Min peak VMEM over allowed split levels (for feasibility checks)."""
         tiles = max(1, -(-max(num_trees, tree_tile) // tree_tile)) if num_trees else 2
         return min(
-            cls.vmem_bytes(depth, row_tile, tree_tile, ls, tiles)
+            cls.vmem_bytes(depth, row_tile, tree_tile, ls, tiles,
+                           vregs=vregs, sign_form=sign_form)
             for ls in cls.valid_split_levels(depth, tree_tile, ge_mode)
         )
 
@@ -280,15 +326,39 @@ class FoldKernelEngine:
             from tahoe_tpu.forest.compiler import ge_normalize
 
             fid_l, thr_l, leaf_ge = ge_normalize(lev)
-            thresh, fid = [], []
+            thresh, fid, vsel, sign = [], [], [], []
+            F = lev.num_cols
             for d in range(D):
                 th = pad_tree_axis(subtree_reorder(thr_l[d], d), np.float32(np.nan))
-                fd = pad_tree_axis(subtree_reorder(fid_l[d], d), np.int32(0))
+                fv = subtree_reorder(fid_l[d], d)
                 thresh.append(jnp.asarray(tile_node_major(th, np.float32(np.nan))))
-                fid.append(jnp.asarray(tile_node_major(fd, np.int32(0))))
+                if self.sign_form:
+                    # decompose the virtual fid (f or f+F for the negated
+                    # form) into (lane, vreg, sign): the kernel gathers
+                    # lane from vreg and multiplies by sign — the negated
+                    # lane of dual ge realized arithmetically
+                    neg = fv >= F
+                    f = fv - F * neg
+                    lane = pad_tree_axis((f % LANE).astype(np.int32),
+                                         np.int32(0))
+                    vr = pad_tree_axis((f // LANE).astype(np.int32),
+                                       np.int32(0))
+                    sg = pad_tree_axis(
+                        (1.0 - 2.0 * neg).astype(np.float32), np.float32(1.0))
+                    fid.append(jnp.asarray(tile_node_major(lane, np.int32(0))))
+                    vsel.append(jnp.asarray(tile_node_major(vr, np.int32(0))))
+                    sign.append(jnp.asarray(
+                        tile_node_major(sg, np.float32(1.0))))
+                else:
+                    fd = pad_tree_axis(fv, np.int32(0))
+                    fid.append(jnp.asarray(tile_node_major(fd, np.int32(0))))
             leaf = pad_tree_axis(subtree_reorder(leaf_ge, D), np.float32(0))
-            self.tables = (*thresh, *fid,
-                           jnp.asarray(tile_node_major(leaf, np.float32(0))))
+            if self.sign_form:
+                self.tables = (*thresh, *fid, *vsel, *sign,
+                               jnp.asarray(tile_node_major(leaf, np.float32(0))))
+            else:
+                self.tables = (*thresh, *fid,
+                               jnp.asarray(tile_node_major(leaf, np.float32(0))))
         else:
             thresh, fid, sel_lt, flip = [], [], [], []
             for d in range(D):
@@ -313,21 +383,25 @@ class FoldKernelEngine:
             seg=tuple(self.seg), leaf_seg=self.leaf_seg,
             interpret=self.interpret, ge=self.ge_mode,
             split_level=self.split_level, tree_outer=True,
+            sign_form=self.sign_form, vregs=self.vregs,
         )
 
     # ------------------------------------------------------------------
     def _canonicalize(self, x):
         """Pad features to 128 lanes, map missing to NaN; in ge mode also
-        append the negated lanes [x, -x] (see compiler.ge_normalize)."""
+        append the negated lanes [x, -x] (see compiler.ge_normalize). With a
+        col_index (used-feature compaction) only the live columns are kept."""
         x = x.astype(jnp.float32)
+        if self._col_index is not None:
+            x = x[:, self._col_index]
         if np.isnan(np.float32(self.missing)):
             miss = jnp.isnan(x)
         else:
             miss = jnp.abs(x - jnp.float32(self.missing)) <= jnp.float32(MISSING_EPS)
         x = jnp.where(miss, jnp.float32(np.nan), x)
-        if self.ge_mode:
+        if self.ge_mode and not self.sign_form:
             x = jnp.concatenate([x, -x], axis=1)
-        pad = LANE - x.shape[1]
+        pad = LANE * self.vregs - x.shape[1]
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad)))
         return x
@@ -341,7 +415,8 @@ class FoldKernelEngine:
         x = self._canonicalize(data)
         pad = (-rows) % self.row_tile
         if pad:
-            x = jnp.concatenate([x, jnp.zeros((pad, LANE), jnp.float32)], axis=0)
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, x.shape[1]), jnp.float32)], axis=0)
         margins = self._margins_padded(tables, x)[:rows]
         return apply_output_transform(
             margins, self.num_trees, self.output, self.global_bias,
@@ -370,7 +445,8 @@ class FoldKernelEngine:
         x = self._canonicalize(data)
         pad = (-rows) % self.row_tile
         if pad:
-            x = jnp.concatenate([x, jnp.zeros((pad, LANE), jnp.float32)], axis=0)
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, x.shape[1]), jnp.float32)], axis=0)
         return self._margins_padded(self.tables, x)[:rows]
 
 
@@ -386,8 +462,14 @@ def _make_kernel(cfg: FoldConfig):
     def kernel(x_ref, *refs):
         th_refs = refs[0:D]
         fid_refs = refs[D : 2 * D]
-        if cfg.ge:
+        if cfg.ge and cfg.sign_form:
             sel_refs = flip_refs = None
+            vsel_refs = refs[2 * D : 3 * D]
+            sign_refs = refs[3 * D : 4 * D]
+            leaf_ref = refs[4 * D]
+            out_ref = refs[4 * D + 1]
+        elif cfg.ge:
+            sel_refs = flip_refs = vsel_refs = sign_refs = None
             leaf_ref = refs[2 * D]
             out_ref = refs[2 * D + 1]
         else:
@@ -396,7 +478,10 @@ def _make_kernel(cfg: FoldConfig):
             leaf_ref = refs[4 * D]
             out_ref = refs[4 * D + 1]
 
-        x = x_ref[:]  # [Rt, 128] NaN-canonicalized features
+        x = x_ref[:]  # [Rt, 128*vregs] NaN-canonicalized features
+        # sign form: V feature vregs; gathers are per-vreg, the node's vreg
+        # chosen by a static select chain, sign applied by an f32 multiply
+        xv_blocks = [x[:, v * LANE : (v + 1) * LANE] for v in range(cfg.vregs)]
 
         def level_cond(d, n):
             """Branch conditions for the n live node columns of level d.
@@ -409,7 +494,7 @@ def _make_kernel(cfg: FoldConfig):
             parts = []
             for c0 in range(0, _round_up(n, LANE), LANE):
                 idx = jnp.broadcast_to(fid_refs[d][:, c0 : c0 + LANE], (Rt, LANE))
-                xv = jnp.take_along_axis(x, idx, axis=1)
+                xv = jnp.take_along_axis(xv_blocks[0], idx, axis=1)
                 th = th_refs[d][:, c0 : c0 + LANE]
                 if cfg.ge:
                     # single-compare form: all routing semantics pre-folded
@@ -434,7 +519,15 @@ def _make_kernel(cfg: FoldConfig):
 
             def cond_chunk(d, c0):
                 idx = jnp.broadcast_to(fid_refs[d][:, c0 : c0 + LANE], (Rt, LANE))
-                xv = jnp.take_along_axis(x, idx, axis=1)
+                xv = jnp.take_along_axis(xv_blocks[0], idx, axis=1)
+                if cfg.sign_form:
+                    for v in range(1, cfg.vregs):
+                        alt = jnp.take_along_axis(xv_blocks[v], idx, axis=1)
+                        pick = jnp.broadcast_to(
+                            vsel_refs[d][:, c0 : c0 + LANE], (Rt, LANE)) == v
+                        xv = jnp.where(pick, alt, xv)
+                    xv = xv * jnp.broadcast_to(
+                        sign_refs[d][:, c0 : c0 + LANE], (Rt, LANE))
                 return xv >= th_refs[d][:, c0 : c0 + LANE]
 
             def leaf_bcast(c0):
@@ -553,13 +646,15 @@ def fold_margins(cfg: FoldConfig, tables, x_pad):
     Rt = cfg.row_tile
     rows = x_pad.shape[0]
     n_tiles = cfg.padded_trees // cfg.tree_tile
-    n_table_groups = 2 if cfg.ge else 4  # (thresh, fid[, sel, flip])
+    n_table_groups = (2 if (cfg.ge and not cfg.sign_form)
+                      else 4)  # (thresh, fid[, sel|vsel, flip|sign])
 
     from tahoe_tpu.ops.mosaic import compile_kwargs
 
     if cfg.tree_outer:
         grid = (n_tiles, rows // Rt)
-        in_specs = [pl.BlockSpec((Rt, LANE), lambda t, r: (r, 0),
+        in_specs = [pl.BlockSpec((Rt, LANE * cfg.vregs),
+                                 lambda t, r: (r, 0),
                                  memory_space=pltpu.VMEM)]
         for _ in range(n_table_groups):
             for d in range(D):
@@ -583,7 +678,7 @@ def fold_margins(cfg: FoldConfig, tables, x_pad):
 
     grid = (rows // Rt, n_tiles)
 
-    in_specs = [pl.BlockSpec((Rt, LANE), lambda r, t: (r, 0),
+    in_specs = [pl.BlockSpec((Rt, LANE * cfg.vregs), lambda r, t: (r, 0),
                              memory_space=pltpu.VMEM)]
     for _ in range(n_table_groups):
         for d in range(D):
@@ -607,16 +702,19 @@ def fold_margins(cfg: FoldConfig, tables, x_pad):
     return margins[:, 0]
 
 
-def canonicalize_rows(x, missing: float, num_cols: int):
+def canonicalize_rows(x, missing: float, num_cols: int, *,
+                      col_index=None, vregs: int = 1):
     """Standalone row canonicalization (mirrors FoldKernelEngine._canonicalize)
-    for the distributed layer."""
+    for the distributed layer. NOTE: non-ge form (no [x, -x] lanes)."""
     x = x.astype(jnp.float32)
+    if col_index is not None:
+        x = x[:, jnp.asarray(col_index)]
     if np.isnan(np.float32(missing)):
         miss = jnp.isnan(x)
     else:
         miss = jnp.abs(x - jnp.float32(missing)) <= jnp.float32(MISSING_EPS)
     x = jnp.where(miss, jnp.float32(np.nan), x)
-    pad = LANE - x.shape[1]
+    pad = LANE * vregs - x.shape[1]
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad)))
     return x

@@ -507,22 +507,30 @@ class RankFoldEngine:
                  chunk_lead: bool = False,
                  tree_outer: bool | None = None, col_chunk: int | None = None,
                  stream_once: bool | None = None,
+                 transform_schedule: str = "phase",
+                 transform_row_tile: int | None = None,
                  limits: TpuLimits = TpuLimits()):
-        if forest.num_cols > RANK_MAX_COLS:
-            raise NotImplementedError(
-                f"rank-MXU kernel supports <= {RANK_MAX_COLS} features"
-            )
         self._raw_missing = forest.missing
+        self._transform_schedule = transform_schedule
+        # the transform's matmuls are weight-load bound below ~1024 rows per
+        # dot (scripts/unit_bench.py r2: full MXU rate needs M >= ~1024);
+        # decoupling its row tile from the traversal's lets both run at their
+        # own sweet spot
+        self._transform_rt = transform_row_tile
         if prequantized is not None:
-            # (RankQuantizedForest, vf_base, raw_missing) from a caller that
+            # (RankQuantizedForest, gather, raw_missing) from a caller that
             # quantized a larger forest once and is handing us a tree subset
-            # (depth-bucketed rank execution shares one transform)
+            # (depth-bucketed rank execution shares one transform). ``gather``
+            # is the FINAL data-column index (compaction + band split
+            # composed by the caller), or None.
             self.q, self._vf_base, self._raw_missing = prequantized
         else:
             # drop unreachable filler levels before quantization
             # (complete-tree storage; see compiler.reachable_depths) —
-            # shrinks matrices AND threshold tables
+            # shrinks matrices AND threshold tables; then compact to live
+            # features (wide gisette-class forests reference only a subset)
             from tahoe_tpu.forest.compiler import (
+                compact_features,
                 reachable_depths,
                 truncate_depth,
             )
@@ -530,12 +538,25 @@ class RankFoldEngine:
             forest = truncate_depth(
                 forest, int(reachable_depths(forest).max(initial=0))
             )
+            forest, col_index = compact_features(forest)
+            if forest.num_cols > RANK_MAX_COLS:
+                raise NotImplementedError(
+                    f"rank-MXU kernel supports <= {RANK_MAX_COLS} live "
+                    f"features; got {forest.num_cols}"
+                )
             self.q = quantize(forest)
             # features with more distinct thresholds than the plane
             # encoding's rank cap split into banded virtual features
             # (quantize.band_split); rows expand by a column gather in
             # _canonicalize
-            self.q, self._vf_base = band_split(self.q, band)
+            self.q, vf_base = band_split(self.q, band)
+            # compose compaction with band expansion into one data gather
+            if col_index is None:
+                self._vf_base = vf_base
+            elif vf_base is None:
+                self._vf_base = col_index
+            else:
+                self._vf_base = col_index[vf_base]
         if self.q.spec.num_cols > RANK_MAX_COLS:
             raise NotImplementedError(
                 f"banded forest needs {self.q.spec.num_cols} virtual "
@@ -829,14 +850,20 @@ class RankFoldEngine:
         )
 
         x = self._canonicalize(data)
+        rt = self._transform_rt or self.row_tile
+        pad = (-x.shape[0]) % rt
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, x.shape[1]), jnp.float32)], axis=0)
         if self._transform_v2:
             cmax, digs = rank_tables
             return rank_planes_kernel_v2(
                 x, cmax, digs, self._bucket_s, self._bucket_paired,
-                row_tile=self.row_tile, interpret=self.interpret,
+                row_tile=rt, interpret=self.interpret,
+                schedule=self._transform_schedule,
             )
         return rank_planes_kernel(
-            x, rank_tables[0], row_tile=self.row_tile,
+            x, rank_tables[0], row_tile=rt,
             interpret=self.interpret,
         )
 

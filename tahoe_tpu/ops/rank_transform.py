@@ -237,7 +237,7 @@ def _assemble_group(q, nan_mask, row_tile: int):
 
 
 def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
-                    group_mode: bool = False):
+                    group_mode: bool = False, schedule: str = "chain"):
     INT_MAX_POS = 0x7FFFFFFF
     # group mode: each grid step handles ONE 30-feature plane group whose
     # features sit in lanes [0, 30) of its x slot; tables stream per group
@@ -273,9 +273,19 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
             p23 = m[:, 2 * w : 3 * w] + m[:, 3 * w :] * jnp.float32(256.0)
             return p01.astype(jnp.int32) + (p23.astype(jnp.int32) << 16)
 
+        # The per-pair chain (compare -> one-hot -> digit matmul -> combine ->
+        # compare -> reduce matmul) is ~6 dependent ops; issued pair-by-pair
+        # ("chain") the small matmuls serialize on their consumers and the
+        # kernel runs latency-bound ~17x off the MXU roofline (measured,
+        # scripts/unit_bench.py r2). "phase" reorders the SAME computation so
+        # all pairs' digit matmuls issue back-to-back (no consumer between
+        # them), then all combines, then all reduce matmuls — letting the MXU
+        # pipeline independent ops while the VPU drains the previous phase.
         ranks = []
         if paired:
-            for p in range(0, F_loc, 2):
+            pairs = list(range(0, F_loc, 2))
+
+            def stage1(p):
                 f0, f1 = p, min(p + 1, F_loc - 1)
                 xk0 = xkey[:, f0 : f0 + 1]
                 xk1 = xkey[:, f1 : f1 + 1]
@@ -284,44 +294,83 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
                 oh2 = jnp.concatenate(
                     [shift_one_hot(full0), shift_one_hot(full1)], axis=1
                 )  # [Rt, 256]
-                m = jax.lax.dot_general(
+                return xk0, xk1, full0, full1, oh2
+
+            def digit_mm(p, oh2):
+                return jax.lax.dot_general(
                     oh2, digs_ref[p // 2],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [Rt, 4*128]: both features' digit slots
+
+            def stage2(st, m):
+                xk0, xk1, full0, full1, _ = st
                 elem = combine(m, LANE)  # [Rt, 128]
                 xk2 = jnp.concatenate(
                     [jnp.broadcast_to(xk0, (row_tile, LANE // 2)),
                      jnp.broadcast_to(xk1, (row_tile, LANE // 2))], axis=1
                 )
                 pc = (xk2 >= elem).astype(jnp.bfloat16)  # [Rt, 128]
-                qv = jax.lax.dot_general(
-                    jnp.concatenate([full0, full1, pc], axis=1), qw_ref[:],
-                    (((1,), (0,)), ((), ())),
+                return jnp.concatenate([full0, full1, pc], axis=1)
+
+            def reduce_mm(fp):
+                return jax.lax.dot_general(
+                    fp, qw_ref[:], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # cols: b0, b1, part0, part1
+
+            def emit(p, qv):
                 ranks.append(qv[:, 0:1] * jnp.float32(S) + qv[:, 2:3])
-                if f1 > f0:
+                if min(p + 1, F_loc - 1) > p:
                     ranks.append(qv[:, 1:2] * jnp.float32(S) + qv[:, 3:4])
+
+            if schedule == "phase":
+                sts = [stage1(p) for p in pairs]
+                ms = [digit_mm(p, st[4]) for p, st in zip(pairs, sts)]
+                fps = [stage2(st, m) for st, m in zip(sts, ms)]
+                qvs = [reduce_mm(fp) for fp in fps]
+                for p, qv in zip(pairs, qvs):
+                    emit(p, qv)
+            else:
+                for p in pairs:
+                    st = stage1(p)
+                    emit(p, reduce_mm(stage2(st, digit_mm(p, st[4]))))
         else:
-            for f in range(F_loc):
+            def one_feature(f):
                 xk = xkey[:, f : f + 1]  # [Rt, 1]
                 full = (xk >= cmax_row(f)).astype(jnp.bfloat16)
-                oh = shift_one_hot(full)
-                m = jax.lax.dot_general(
-                    oh, digs_ref[f],
-                    (((1,), (0,)), ((), ())),
+                return xk, full, shift_one_hot(full)
+
+            def digit_mm_f(f, oh):
+                return jax.lax.dot_general(
+                    oh, digs_ref[f], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [Rt, 4*Sp] exact digit values
+
+            def pc_of(st, m):
+                xk, full, _ = st
                 elem = combine(m, Sp)
                 pc = (xk >= elem).astype(jnp.bfloat16)  # [Rt, Sp]
+                return jnp.concatenate([full, pc], axis=1)
+
+            def reduce_f(fp):
                 # q = S*sum(full) + sum(pc) via one matmul
                 qv = jax.lax.dot_general(
-                    jnp.concatenate([full, pc], axis=1), qw_ref[:],
-                    (((1,), (0,)), ((), ())),
+                    fp, qw_ref[:], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [Rt, LANE]; col 0 = sum(full) = b, col 1 = sum(pc)
                 ranks.append(qv[:, :1] * jnp.float32(S) + qv[:, 1:2])
+
+            if schedule == "phase":
+                sts = [one_feature(f) for f in range(F_loc)]
+                ms = [digit_mm_f(f, st[2]) for f, st in enumerate(sts)]
+                fps = [pc_of(st, m) for st, m in zip(sts, ms)]
+                for fp in fps:
+                    reduce_f(fp)
+            else:
+                for f in range(F_loc):
+                    st = one_feature(f)
+                    reduce_f(pc_of(st, digit_mm_f(f, st[2])))
         q = jnp.concatenate(ranks, axis=1).astype(jnp.int32)  # [Rt, F_loc]
         if group_mode:
             out_ref[:] = _assemble_group(q, nan_mask, row_tile)
@@ -332,7 +381,8 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
 
 
 def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, paired: bool, *,
-                          row_tile: int = 256, interpret: bool = False):
+                          row_tile: int = 256, interpret: bool = False,
+                          schedule: str = "phase"):
     """Bucketed rank transform: x_canon [R_pad, 128] f32 (NaN missing) +
     bucket tables (build_bucket_tables) → int8 planes [R_pad, 128*G].
 
@@ -360,7 +410,8 @@ def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, paired: bool, *,
         )
         Pg = P // G  # digit planes per group (15 paired / 30 plain)
         out32 = pl.pallas_call(
-            _make_kernel_v2(F, S, Sp, row_tile, paired, group_mode=True),
+            _make_kernel_v2(F, S, Sp, row_tile, paired, group_mode=True,
+                            schedule=schedule),
             grid=(rows // row_tile, G),
             in_specs=[
                 pl.BlockSpec((row_tile, LANE), lambda r, g: (r, g),
@@ -381,7 +432,7 @@ def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, paired: bool, *,
         return out32.astype(jnp.int8)
 
     out32 = pl.pallas_call(
-        _make_kernel_v2(F, S, Sp, row_tile, paired),
+        _make_kernel_v2(F, S, Sp, row_tile, paired, schedule=schedule),
         grid=(rows // row_tile,),
         in_specs=[
             pl.BlockSpec((row_tile, LANE), lambda r: (r, 0),

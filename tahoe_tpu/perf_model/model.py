@@ -56,10 +56,18 @@ def _rank_transform_cost(forest: ForestSpec, vcols: int, rows: int) -> float:
     import numpy as np
 
     internal = ~forest.is_leaf
-    k_per_f = [
-        int(np.unique(forest.values[internal & (forest.fids == f)]).size)
-        for f in range(forest.num_cols)
-    ]
+    if internal.any():
+        # distinct thresholds per feature in one lexsort pass (a per-feature
+        # unique() loop is O(F * nodes) — gisette-class F is in the thousands)
+        f = forest.fids[internal].ravel()
+        v = forest.values[internal].ravel()
+        order = np.lexsort((v, f))
+        fs, vs = f[order], v[order]
+        new = np.ones(fs.size, bool)
+        new[1:] = (fs[1:] != fs[:-1]) | (vs[1:] != vs[:-1])
+        k_per_f = np.bincount(fs[new], minlength=forest.num_cols).tolist()
+    else:
+        k_per_f = [0]
     if max(k_per_f, default=0) > 256:
         # bucketed v2 transform: ~constant VPU work per (row, VIRTUAL
         # feature — banding expands columns) regardless of table size;
@@ -83,6 +91,17 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
 
     if strategy == Strategy.HBM_DIRECT:
         compute = rows * T * (D + 1) * cal.gather_step_ns / 1e9
+        return CostBreakdown(compute, 0.0, dispatch)
+
+    if strategy == Strategy.SPARSE:
+        # CSR descent: same level-synchronous gather structure as HBM_DIRECT
+        # but over the pruned node pool — the gather's working set is the
+        # TRUE node count instead of 2^(D+1)-1 per tree, which is what keeps
+        # very deep trained ensembles runnable at all (every dense strategy
+        # is infeasible there). Step cost charged at the calibrated gather
+        # rate; the pool-locality advantage shows up mainly through
+        # feasibility, not the per-step constant.
+        compute = rows * T * D * cal.gather_step_ns / 1e9
         return CostBreakdown(compute, 0.0, dispatch)
 
     if strategy in (Strategy.ROW_TILED, Strategy.TENSOR):

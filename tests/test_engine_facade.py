@@ -100,17 +100,17 @@ def test_enumeration_tile_tuning(forest, data):
     assert r.tiles in cands
 
 
-def test_rank_defaults_prefer_whole_level():
-    """Under production limits the SUSY-class rank engine must come up in
-    whole-level (split 0) tree-outer mode — the measured-best configuration
-    (scripts/ls0_sweep.sh); a regression to split mode costs ~25%."""
+def test_rank_defaults_prefer_big_row_tiles():
+    """Under production limits the SUSY-class rank engine must come up at
+    (1024, 128) with subtree-split mode (auto ls4) — the measured-best r2
+    configuration (scripts/ls_sweep2-4.py): big row tiles amortize MXU
+    weight loads; the split form keeps fold chains vreg-resident."""
     from tahoe_tpu.engine.feasibility import rank_default_tiles
     from tahoe_tpu.forest import synthetic
     from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 
     spec = synthetic.generate_forest(500, 8, 18, seed=1)
     rt, tt = rank_default_tiles(spec)
-    assert (rt, tt) == (256, 128)
+    assert (rt, tt) == (1024, 128)
     eng = RankFoldEngine(spec, row_tile=rt, tree_tile=tt, interpret=True)
-    assert eng.split_level == 0
-    assert eng.cfg.tree_outer
+    assert eng.split_level in (3, 4)

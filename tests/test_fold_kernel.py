@@ -73,8 +73,11 @@ def test_feasibility_check():
 
 
 def test_too_many_features_rejected():
-    forest = synthetic.generate_forest(4, 2, 200, seed=88)
+    # a 200-col forest with only a dozen live fids now auto-compacts and
+    # WORKS (tests/test_compact.py); rejection needs > 512 LIVE features
+    forest = synthetic.generate_forest(300, 4, 2000, seed=88)
     lev = compiler.levelize(forest)
+    assert len(__import__("numpy").unique(forest.fids[~forest.is_leaf])) > 512
     with pytest.raises(NotImplementedError):
         FoldKernelEngine(lev, interpret=True)
 

@@ -76,8 +76,10 @@ def test_plane_encoding_round_trip():
 
 
 def test_too_many_features_rejected():
-    # 40 features now fit in 2 plane groups; the cap is RANK_MAX_COLS (120)
-    forest = synthetic.generate_forest(4, 2, 130, seed=159)
+    # the cap is RANK_MAX_COLS (120) LIVE features — sparse wide forests
+    # auto-compact below it (tests/test_compact.py); this one uses ~200
+    forest = synthetic.generate_forest(300, 4, 200, seed=159)
+    assert np.unique(forest.fids[~forest.is_leaf]).size > 120
     with pytest.raises(NotImplementedError):
         RankFoldEngine(forest, interpret=True)
 

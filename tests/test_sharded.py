@@ -73,6 +73,51 @@ def test_tree_sharded_deep_split(setup):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_rank_tree_sharded_psum(setup):
+    """Flagship int8 rank engine sharded on the tree axis (VERDICT r1 #4)."""
+    from tahoe_tpu.parallel.sharded import ShardedRankEngine
+
+    forest, _, data, want = setup
+    mesh = make_mesh(data=1, model=3)  # 48 trees / tile 16 = 3 tiles
+    eng = ShardedRankEngine(forest, mesh, row_tile=8, tree_tile=16)
+    got = np.asarray(eng.predict(data))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rank_2d_mesh(setup):
+    from tahoe_tpu.parallel.sharded import ShardedRankEngine
+
+    forest, _, data, want = setup
+    mesh = make_mesh(data=2, model=3)
+    eng = ShardedRankEngine(forest, mesh, row_tile=8, tree_tile=16)
+    got = np.asarray(eng.predict(data))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rank_sharded_split_mode(setup):
+    """Deep rank forest: subtree-split kernel under shard_map."""
+    from tahoe_tpu.parallel.sharded import ShardedRankEngine
+
+    forest = synthetic.generate_forest(32, 9, 10, leaf_prob=0.1, seed=107)
+    data = synthetic.generate_data(32, 10, missing_prob=0.1, seed=108)
+    want = oracle.predict(forest, data)
+    mesh = make_mesh(data=1, model=2)
+    eng = ShardedRankEngine(forest, mesh, row_tile=8, tree_tile=16,
+                            split_level=3)
+    assert eng.cfg.split_level == 3
+    got = np.asarray(eng.predict(data))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rank_uneven_shard_rejected(setup):
+    from tahoe_tpu.parallel.sharded import ShardedRankEngine
+
+    forest, _, _, _ = setup
+    mesh = make_mesh(data=1, model=5)
+    with pytest.raises(ValueError, match="divisible|divide"):
+        ShardedRankEngine(forest, mesh, row_tile=8, tree_tile=16)
+
+
 def test_mesh_shape_invariance(setup):
     """Predictions must be identical (up to f32 psum reordering) across every
     mesh factorization of the same device count — the property that makes the

@@ -56,3 +56,32 @@ def test_deep_forest_path():
     np.testing.assert_allclose(
         sparse.predict_np(sf, data), oracle.predict(deep, data), atol=1e-6
     )
+
+
+def test_sparse_strategy_via_facade():
+    """SPARSE is a first-class Strategy (VERDICT r1 item 5): enumerable,
+    feasibility-checked, engine-built through the facade."""
+    from tahoe_tpu.config import Strategy
+    from tahoe_tpu.engine.forest import Forest
+
+    forest = synthetic.generate_forest(24, 6, 10, leaf_prob=0.2, seed=51)
+    data = synthetic.generate_data(64, 10, missing_prob=0.1, seed=52)
+    f = Forest(forest)
+    assert f.feasible(Strategy.SPARSE) is None
+    got = np.asarray(f.predict(data, strategy=Strategy.SPARSE))
+    np.testing.assert_allclose(got, oracle.predict(forest, data), atol=1e-5)
+
+
+def test_sparse_only_strategy_for_very_deep():
+    """Depth-16 trained shape: every dense select-fold engine is
+    depth-infeasible; SPARSE (and the HBM gather tier) remain."""
+    from tahoe_tpu.config import Strategy
+    from tahoe_tpu.engine import feasibility
+
+    forest = synthetic.generate_mixed_depth_forest(
+        16, 16, 10, min_depth=16, leaf_prob=0.3, seed=53
+    )
+    assert feasibility.check(Strategy.SPARSE, forest) is None
+    for s in (Strategy.VMEM_FOREST, Strategy.SPLIT_FOREST, Strategy.TENSOR,
+              Strategy.ROW_TILED):
+        assert feasibility.check(s, forest) is not None
