@@ -33,7 +33,7 @@ REFERENCE_FIL_US = 0.990169   # Tahoe's FIL-style dense baseline, README.md:58
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--rows", type=int, default=16384)
+    p.add_argument("--rows", type=int, default=65536)
     p.add_argument("--epochs", type=int, default=24)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--quick", action="store_true", help="small/fast variant")
@@ -93,12 +93,14 @@ def main() -> int:
 
     # --- secondary: int8 rank-MXU engine ------------------------------------
     # (1024, 128) auto-split (ls4) measured best in r2 (scripts/ls_sweep2-4):
-    # 0.111-0.118 plane-resident / 0.116-0.136 full us/sample same-session —
     # big row tiles amortize MXU weight loads, subtree-split keeps fold
-    # chains vreg-resident
+    # chains vreg-resident. transform_row_tile=2048 at 65536-row batches
+    # measured best in r2 session 2 (scripts/r2s2_sweep1.py: full 0.110
+    # us/sample vs 0.128 at trt=1024; the transform's dots are weight-load
+    # bound below ~2048 rows)
     rank = RankFoldEngine(
         forest, row_tile=1024, tree_tile=128, split_level=4,
-        interpret=interpret, limits=TpuLimits(),
+        transform_row_tile=2048, interpret=interpret, limits=TpuLimits(),
     )
     t_rank_full = slope(lambda k: rank.predict_k(data_d, k), k1, k2)
     us_rank_full = t_rank_full * 1e6 / args.rows

@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""Real-TPU kernel-branch smoke test (VERDICT r1 item 7).
+
+Interpret-mode tests cannot catch Mosaic layout/compile bugs (proven in
+round 1: an XLA broadcast rewrite broke only the REAL compile). This script
+compiles + runs + parity-checks every kernel branch on the actual chip, one
+branch per subprocess (a Mosaic crash in one branch must not end the run;
+sequential subprocesses also respect the one-JAX-process tunnel rule).
+
+Parent:  python scripts/tpu_smoke.py           -> writes TPU_SMOKE_r02.json
+Child:   python scripts/tpu_smoke.py --branch NAME
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+ROWS = 2048
+
+
+def _mixed_depth_forest(seed=11):
+    """Trained forest with varied reachable depths (triggers >1 bucket)."""
+    from tahoe_tpu.forest.train import train_forest
+
+    return train_forest(60, 10, 16, seed=seed)
+
+
+def _wide_fid_forest(trees, depth, active, cols, seed):
+    from tahoe_tpu.forest import synthetic
+
+    return synthetic.generate_forest(trees, depth, cols, active_cols=active,
+                                     seed=seed)
+
+
+# each branch: () -> (engine_like, forest, data); engine_like has .predict
+def _branches():
+    from tahoe_tpu.config import TpuLimits
+    from tahoe_tpu.forest import compiler, synthetic
+    from tahoe_tpu.ops.fold_kernel import FoldKernelEngine
+    from tahoe_tpu.ops.rank_kernel import RankFoldEngine
+
+    limits = TpuLimits()
+
+    def susy():
+        return synthetic.susy_class_forest(seed=0)
+
+    def data_for(f, rows=ROWS, seed=1):
+        return synthetic.generate_data(rows, f.num_cols, missing_prob=0.02,
+                                       seed=seed)
+
+    def rank(f, **kw):
+        kw.setdefault("limits", limits)
+        return RankFoldEngine(f, **kw)
+
+    def fold(f, **kw):
+        return FoldKernelEngine(compiler.levelize(f), **kw)
+
+    out = {}
+
+    def add(name, builder):
+        out[name] = builder
+
+    add("rank_ls0_whole_level",
+        lambda: (lambda f: (rank(f, row_tile=256, tree_tile=128,
+                                 split_level=0), f, data_for(f)))(susy()))
+    add("rank_ls4_stream_chunk",
+        lambda: (lambda f: (rank(f, row_tile=1024, tree_tile=128,
+                                 split_level=4), f, data_for(f)))(susy()))
+    add("rank_banded",
+        lambda: (lambda f: (rank(f, row_tile=256, tree_tile=128, band=96),
+                            f, data_for(f)))(susy()))
+    add("rank_g2_40feat",
+        lambda: (lambda f: (rank(f, row_tile=256, tree_tile=64), f,
+                            data_for(f)))(
+            synthetic.generate_forest(200, 8, 40, seed=3)))
+    add("rank_g3_70feat",
+        lambda: (lambda f: (rank(f, row_tile=256, tree_tile=64), f,
+                            data_for(f)))(
+            synthetic.generate_forest(200, 8, 70, seed=4)))
+    add("rank_transform_decoupled_rt",
+        lambda: (lambda f: (rank(f, row_tile=1024, tree_tile=128,
+                                 split_level=4, transform_row_tile=4096),
+                            f, data_for(f, rows=8192)))(susy()))
+    add("rank_v2_bucketed_transform",
+        lambda: (lambda f: (rank(f, row_tile=256, tree_tile=128), f,
+                            data_for(f)))(
+            synthetic.generate_forest(400, 8, 8, seed=5)))
+    add("rank_cond_lead",
+        lambda: (lambda f: (rank(f, row_tile=256, tree_tile=128,
+                                 split_level=0, cond_lead=True), f,
+                            data_for(f)))(susy()))
+    add("rank_chunk_lead",
+        lambda: (lambda f: (rank(f, row_tile=256, tree_tile=128,
+                                 split_level=0, chunk_lead=True), f,
+                            data_for(f)))(susy()))
+    add("rank_deep12_split",
+        lambda: (lambda f: (rank(f, row_tile=128, tree_tile=8,
+                                 split_level=5), f, data_for(f)))(
+            synthetic.generate_forest(100, 12, 30, seed=6)))
+
+    add("fold_ge_whole",
+        lambda: (lambda f: (fold(f, row_tile=128, tree_tile=128), f,
+                            data_for(f)))(susy()))
+    add("fold_deep12_split",
+        lambda: (lambda f: (fold(f, row_tile=64, tree_tile=64), f,
+                            data_for(f)))(
+            synthetic.generate_forest(100, 12, 30, seed=6)))
+    add("fold_sign_v1_100feat",
+        lambda: (lambda f: (fold(f, row_tile=256, tree_tile=128,
+                                 ge_mode=True), f, data_for(f)))(
+            _wide_fid_forest(200, 6, 100, 100, seed=7)))
+    add("fold_sign_v3_300feat",
+        lambda: (lambda f: (fold(f, row_tile=256, tree_tile=128,
+                                 ge_mode=True), f, data_for(f)))(
+            _wide_fid_forest(200, 6, 300, 900, seed=8)))
+
+    def bucketed():
+        from tahoe_tpu.ops.bucketed import make_depth_bucketed_engine
+        from tahoe_tpu.forest import synthetic as syn
+
+        f = _mixed_depth_forest()
+        eng = make_depth_bucketed_engine(f)
+        return eng, f, syn.generate_data(ROWS, f.num_cols, seed=9)
+
+    add("depth_bucketed_auto", bucketed)
+
+    def bucketed_fold():
+        from tahoe_tpu.ops.bucketed import DepthBucketedFoldEngine
+        from tahoe_tpu.forest import synthetic as syn
+
+        f = _mixed_depth_forest(seed=12)
+        eng = DepthBucketedFoldEngine(f)
+        return eng, f, syn.generate_data(ROWS, f.num_cols, seed=10)
+
+    add("depth_bucketed_fold", bucketed_fold)
+
+    def sharded(engine_cls_name):
+        def build():
+            import jax
+
+            from tahoe_tpu.parallel.mesh import make_mesh
+            from tahoe_tpu.parallel import sharded as sh
+
+            f = susy()
+            mesh = make_mesh(data=1, model=1,
+                             devices=jax.devices()[:1])
+            if engine_cls_name == "fold":
+                eng = sh.ShardedForestEngine(
+                    compiler.levelize(f), mesh, row_tile=128, tree_tile=64)
+            else:
+                eng = sh.ShardedRankEngine(
+                    f, mesh, row_tile=256, tree_tile=128)
+            return eng, f, data_for(f)
+
+        return build
+
+    add("sharded_fold_1dev", sharded("fold"))
+    add("sharded_rank_1dev", sharded("rank"))
+
+    def sparse():
+        from tahoe_tpu.forest import sparse as sp
+
+        f = _mixed_depth_forest(seed=13)
+        eng = sp.SparseGatherEngine(sp.from_dense(f))
+        from tahoe_tpu.forest import synthetic as syn
+
+        return eng, f, syn.generate_data(ROWS, f.num_cols, seed=11)
+
+    add("sparse_csr_descent", sparse)
+
+    return out
+
+
+def run_branch(name: str) -> int:
+    import jax
+
+    from tahoe_tpu.ops import oracle
+
+    builder = _branches()[name]
+    eng, forest, data = builder()
+    want = oracle.predict(forest, data)
+    got = np.asarray(eng.predict(jax.device_put(np.asarray(data, np.float32))))
+    err = float(np.abs(got - want).max())
+    ok = err <= 1e-3
+    print(json.dumps({"branch": name, "ok": ok, "max_err": err,
+                      "device": str(jax.devices()[0])}), flush=True)
+    return 0 if ok else 1
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--branch", default=None)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+    if args.branch:
+        return run_branch(args.branch)
+
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.expanduser("~"), ".cache",
+                                "tahoe_tpu_xla"))
+    report = {"branches": {}, "ok": True}
+    for name in _branches():
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--branch", name],
+                capture_output=True, text=True, env=env, timeout=900,
+            )
+            payload = None
+            for line in reversed(r.stdout.strip().splitlines() or [""]):
+                if line.strip().startswith("{"):
+                    payload = json.loads(line)
+                    break
+            if payload is None:
+                payload = {"branch": name, "ok": False,
+                           "error": r.stderr.strip()[-400:]}
+        except subprocess.TimeoutExpired:
+            payload = {"branch": name, "ok": False, "error": "timeout"}
+        report["branches"][name] = payload
+        report["ok"] &= bool(payload.get("ok"))
+        print(json.dumps(payload), flush=True)
+
+    out = args.out or os.path.join(repo, "TPU_SMOKE_r02.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(("ALL BRANCHES OK" if report["ok"] else "FAILURES PRESENT"),
+          flush=True)
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
