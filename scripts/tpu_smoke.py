@@ -73,9 +73,13 @@ def _branches():
     add("rank_ls4_stream_chunk",
         lambda: (lambda f: (rank(f, row_tile=1024, tree_tile=128,
                                  split_level=4), f, data_for(f)))(susy()))
+    # banding triggers when a feature exceeds 16255 distinct thresholds:
+    # 300 trees x depth 10 over 4 features ~= 76k thresholds/feature -> 5
+    # bands each (20 virtual features), within the plane-group cap
     add("rank_banded",
-        lambda: (lambda f: (rank(f, row_tile=256, tree_tile=128, band=96),
-                            f, data_for(f)))(susy()))
+        lambda: (lambda f: (rank(f, row_tile=256, tree_tile=64),
+                            f, data_for(f)))(
+            synthetic.generate_forest(300, 10, 4, seed=21)))
     add("rank_g2_40feat",
         lambda: (lambda f: (rank(f, row_tile=256, tree_tile=64), f,
                             data_for(f)))(
@@ -175,6 +179,19 @@ def _branches():
 
     add("sparse_csr_descent", sparse)
 
+    def sparse_rank():
+        from tahoe_tpu.ops.sparse_kernel import SparseRankEngine
+        from tahoe_tpu.forest import synthetic as syn
+
+        f = _mixed_depth_forest(seed=14)
+        eng = SparseRankEngine(f, row_tile=256, limits=limits)
+        return eng, f, syn.generate_data(ROWS, f.num_cols, seed=12)
+
+    add("sparse_rank_kernel", sparse_rank)
+
+    assert set(out) == set(BRANCH_NAMES), (
+        set(out) ^ set(BRANCH_NAMES)
+    )
     return out
 
 
@@ -194,6 +211,21 @@ def run_branch(name: str) -> int:
     return 0 if ok else 1
 
 
+# static list for the PARENT process: building it via _branches() would
+# import jax with the axon plugin on PYTHONPATH, and the plugin seizes the
+# exclusive TPU tunnel at startup — every child would then futex-block
+# forever behind its own parent (learned the hard way, round 2 session 2)
+BRANCH_NAMES = [
+    "rank_ls0_whole_level", "rank_ls4_stream_chunk", "rank_banded",
+    "rank_g2_40feat", "rank_g3_70feat", "rank_transform_decoupled_rt",
+    "rank_v2_bucketed_transform", "rank_cond_lead", "rank_chunk_lead",
+    "rank_deep12_split", "fold_ge_whole", "fold_deep12_split",
+    "fold_sign_v1_100feat", "fold_sign_v3_300feat", "depth_bucketed_auto",
+    "depth_bucketed_fold", "sharded_fold_1dev", "sharded_rank_1dev",
+    "sparse_csr_descent", "sparse_rank_kernel",
+]
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--branch", default=None)
@@ -209,7 +241,7 @@ def main() -> int:
                    os.path.join(os.path.expanduser("~"), ".cache",
                                 "tahoe_tpu_xla"))
     report = {"branches": {}, "ok": True}
-    for name in _branches():
+    for name in BRANCH_NAMES:
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--branch", name],

@@ -99,8 +99,22 @@ class Forest:
             eng = GatherEngine(self.compiled)
         elif strategy == Strategy.SPARSE:
             from tahoe_tpu.forest.sparse import SparseGatherEngine, from_dense
+            from tahoe_tpu.ops.sparse_kernel import SparseRankEngine
 
-            eng = SparseGatherEngine(from_dense(self.spec))
+            # fast tier: MXU-cond select-chain descent over the pruned pool;
+            # falls back to the XLA gather descent when the pool or feature
+            # count busts the kernel's caps
+            eng = None
+            if SparseRankEngine.feasible(self.spec, self.limits) is None:
+                try:
+                    eng = SparseRankEngine(
+                        self.spec, row_tile=row_tile or 256,
+                        interpret=interpret, limits=self.limits,
+                    )
+                except (NotImplementedError, ValueError):
+                    eng = None
+            if eng is None:
+                eng = SparseGatherEngine(from_dense(self.spec))
         elif strategy == Strategy.RANK_MXU:
             from tahoe_tpu.ops.rank_kernel import RankFoldEngine
 

@@ -479,3 +479,67 @@ def pad_threshold_tables(tables, num_cols: int) -> np.ndarray:
     for f, t in enumerate(tables):
         out[f, : len(t)] = t
     return out
+
+
+class RankTransformer:
+    """Standalone rank transform: raw f32 rows → int8 plane vectors.
+
+    Factors the transform half of RankFoldEngine (quantization tables +
+    canonicalize + fused Pallas transform) so engines that are NOT the dense
+    rank kernel (the sparse rank-descent engine, ops/sparse_kernel.py) can
+    share one exact transform without building dense per-level matrices.
+
+    ``q`` is the RankQuantizedForest AFTER band_split; ``vf_base`` the
+    composed data-column gather (compaction + band expansion) or None;
+    ``raw_missing`` the ORIGINAL forest sentinel (band splitting replaces the
+    rank-domain spec's sentinel with NaN but raw rows still carry the
+    original).
+    """
+
+    def __init__(self, q, vf_base, raw_missing: float):
+        self.q = q
+        self.vf_base = vf_base
+        self.raw_missing = raw_missing
+        self.num_cols = q.spec.num_cols
+        u_pad = pad_threshold_tables(q.tables, self.num_cols)
+        self.v2 = u_pad.shape[1] > 256
+        if self.v2:
+            cmax, digs, self.bucket_s, self.bucket_paired = (
+                build_bucket_tables(q.tables, self.num_cols)
+            )
+            self.rank_tables = (cmax, digs)
+        else:
+            self.rank_tables = (jnp.asarray(u_pad),)
+
+    def canonicalize(self, data, row_tile: int):
+        """f32 rows → NaN-missing, virtual-feature-expanded, 128-lane-padded,
+        row_tile-padded (mirrors RankFoldEngine._canonicalize)."""
+        from tahoe_tpu.config import MISSING_EPS
+
+        x = data.astype(jnp.float32)
+        missing = self.raw_missing
+        if np.isnan(np.float32(missing)):
+            miss = jnp.isnan(x)
+        else:
+            miss = jnp.abs(x - jnp.float32(missing)) <= jnp.float32(MISSING_EPS)
+        x = jnp.where(miss, jnp.float32(np.nan), x)
+        if self.vf_base is not None:
+            x = x[:, self.vf_base]
+        x = jnp.pad(x, ((0, (-x.shape[0]) % row_tile),
+                        (0, LANE - x.shape[1])))
+        return x
+
+    def transform(self, rank_tables, data, *, row_tile: int,
+                  interpret: bool = False, schedule: str = "phase"):
+        """Rows → int8 planes [R_pad, 128*G]; pass ``self.rank_tables`` (or a
+        device-placed copy) as ``rank_tables`` so jit callers keep tables as
+        arguments (closure-captured device arrays re-ship per call)."""
+        x = self.canonicalize(data, row_tile)
+        if self.v2:
+            cmax, digs = rank_tables
+            return rank_planes_kernel_v2(
+                x, cmax, digs, self.bucket_s, self.bucket_paired,
+                row_tile=row_tile, interpret=interpret, schedule=schedule,
+            )
+        return rank_planes_kernel(x, rank_tables[0], row_tile=row_tile,
+                                  interpret=interpret)

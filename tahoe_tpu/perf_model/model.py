@@ -94,13 +94,38 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
         return CostBreakdown(compute, 0.0, dispatch)
 
     if strategy == Strategy.SPARSE:
-        # CSR descent: same level-synchronous gather structure as HBM_DIRECT
-        # but over the pruned node pool — the gather's working set is the
-        # TRUE node count instead of 2^(D+1)-1 per tree, which is what keeps
-        # very deep trained ensembles runnable at all (every dense strategy
-        # is infeasible there). Step cost charged at the calibrated gather
-        # rate; the pool-locality advantage shows up mainly through
-        # feasibility, not the per-step constant.
+        from tahoe_tpu.ops.sparse_kernel import SparseRankEngine
+
+        if SparseRankEngine.feasible(forest) is None:
+            # fast tier (ops/sparse_kernel.py): MXU-cond select-chain descent
+            # whose work is the PRUNED slot pool, not 2^D. Per (row,
+            # tree-lane, slot): ~an eq-compare + 2 selects ~= 2.5x the fold
+            # kernel's per-node select cost; plus the int8 cond matmul over
+            # live columns.
+            import numpy as np
+
+            from tahoe_tpu.forest.compiler import (
+                rank_groups,
+                reachable_mask,
+            )
+
+            mask = reachable_mask(forest)
+            node_depth = np.floor(np.log2(
+                np.arange(1, mask.shape[1] + 1))).astype(np.int32)
+            # slot pool = sum over levels of max-over-trees live width (+1)
+            per_tree = np.zeros((forest.num_trees, forest.depth + 1), np.int64)
+            for t in range(forest.num_trees):
+                per_tree[t] = np.bincount(node_depth[mask[t]],
+                                          minlength=forest.depth + 1)
+            slots = int(per_tree.max(axis=0).sum()) + forest.depth + 1
+            lanes = -(-forest.num_trees // 128) * 128
+            G = rank_groups(feasibility.rank_virtual_cols(forest))
+            compute = rows * lanes * slots * 2.5 * cal.fold_node_ns / 1e9
+            compute += rows * slots * 128.0 * 128 * G / 206e12
+            vcols = feasibility.rank_virtual_cols(forest)
+            compute += _rank_transform_cost(forest, vcols, rows)
+            return CostBreakdown(compute, 0.0, dispatch)
+        # fallback tier: XLA gather descent over the pruned pool
         compute = rows * T * D * cal.gather_step_ns / 1e9
         return CostBreakdown(compute, 0.0, dispatch)
 
