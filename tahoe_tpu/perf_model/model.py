@@ -94,7 +94,7 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
         return CostBreakdown(compute, 0.0, dispatch)
 
     if strategy == Strategy.SPARSE:
-        from tahoe_tpu.ops.sparse_kernel import SparseRankEngine
+        from tahoe_tpu.ops.sparse_kernel import MAX_POOL_SLOTS, SparseRankEngine
 
         if SparseRankEngine.feasible(forest) is None:
             # fast tier (ops/sparse_kernel.py): MXU-cond select-chain descent
@@ -112,19 +112,31 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
             mask = reachable_mask(forest)
             node_depth = np.floor(np.log2(
                 np.arange(1, mask.shape[1] + 1))).astype(np.int32)
-            # slot pool = sum over levels of max-over-trees live width (+1)
+            # slot pool = sum over levels of max-over-trees live width (+1
+            # dead slot per level) — EXACTLY build_sparse_leveled's widths
             per_tree = np.zeros((forest.num_trees, forest.depth + 1), np.int64)
             for t in range(forest.num_trees):
                 per_tree[t] = np.bincount(node_depth[mask[t]],
                                           minlength=forest.depth + 1)
-            slots = int(per_tree.max(axis=0).sum()) + forest.depth + 1
-            lanes = -(-forest.num_trees // 128) * 128
-            G = rank_groups(feasibility.rank_virtual_cols(forest))
-            compute = rows * lanes * slots * 2.5 * cal.fold_node_ns / 1e9
-            compute += rows * slots * 128.0 * 128 * G / 206e12
-            vcols = feasibility.rank_virtual_cols(forest)
-            compute += _rank_transform_cost(forest, vcols, rows)
-            return CostBreakdown(compute, 0.0, dispatch)
+            widths = per_tree.max(axis=0) + 1
+            slots = int(widths.sum())
+            if slots <= MAX_POOL_SLOTS:
+                # feasible() is a heuristic pre-check (avg-based); skewed
+                # ensembles can pass it yet bust the engine's exact pool
+                # guard — price the fast tier only on the exact pool
+                # (ADVICE r2 #2)
+                # leaf level L has no matrix columns (select-only)
+                summat = int(widths[:-1].sum()) if forest.depth > 0 else 0
+                n_tiles = -(-forest.num_trees // 128)
+                lanes = n_tiles * 128
+                G = rank_groups(feasibility.rank_virtual_cols(forest))
+                compute = rows * lanes * slots * 2.5 * cal.fold_node_ns / 1e9
+                # each 128-tree tile runs its own cond matmul over the
+                # shared slot pool (ADVICE r2 #3)
+                compute += rows * summat * 128.0 * 128 * G * n_tiles / 206e12
+                vcols = feasibility.rank_virtual_cols(forest)
+                compute += _rank_transform_cost(forest, vcols, rows)
+                return CostBreakdown(compute, 0.0, dispatch)
         # fallback tier: XLA gather descent over the pruned pool
         compute = rows * T * D * cal.gather_step_ns / 1e9
         return CostBreakdown(compute, 0.0, dispatch)

@@ -67,12 +67,10 @@ def test_parity_banded():
 
 
 def test_pool_guard():
-    from tahoe_tpu.ops.sparse_kernel import MAX_POOL_SLOTS
-
     f = synthetic.generate_forest(8, 12, 10, seed=13)  # full trees: huge pool
-    with pytest.raises((NotImplementedError, ValueError)):
-        eng = SparseRankEngine(f, interpret=True, row_tile=8)
-        assert sum(eng.lv.widths) <= MAX_POOL_SLOTS
+    with pytest.raises((NotImplementedError, ValueError),
+                       match="pool|slots|VMEM"):
+        SparseRankEngine(f, interpret=True, row_tile=8)
 
 
 def test_chain_matches_predict():
