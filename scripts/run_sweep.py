@@ -78,6 +78,10 @@ SHAPES = [
     # regime the SPARSE CSR strategy exists for (reference's dormant
     # sparse_forest path, Struct.h:2217-2353)
     ("rf_deep16_like", 120, 16, 20, 1500, 0.00),
+    # deeper trained ensemble whose pruned slot pool busts round 2's
+    # 2048-slot sparse cap — exercises the loop-structured kernel's
+    # macro-streaming tier (round 3; no dense strategy is feasible here)
+    ("rf_deep18_like", 200, 18, 24, 1500, 0.00),
 ]
 
 
