@@ -123,3 +123,13 @@ def test_facade_picks_fast_tier():
     f3 = Forest(wide)
     eng3 = f3.engine(Strategy.SPARSE, interpret=True)
     assert isinstance(eng3, SparseGatherEngine)
+
+
+def test_deep18_trained_pool():
+    """Depth-18 trained ensemble (the sweep's rf_deep18_like family class):
+    the loop-structured kernel must construct and hold parity at depths
+    where every dense strategy is infeasible outright."""
+    f = train_forest(40, 18, 24, rows=1024, seed=3)
+    assert f.depth >= 14
+    d = synthetic.generate_data(16, 24, missing_prob=0.02, seed=4)
+    _check(f, d)
