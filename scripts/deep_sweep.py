@@ -63,21 +63,23 @@ def main() -> int:
     CONFIGS = {
         "deep14": [
             ("auto", dict()),
+            # Db <= 6 configs: below the measured compile wall (Db>=7 at
+            # G=3 hung >13 min, r2 — rank_kernel.compile_wall) AND small
+            # enough for stream-once to cover the whole batch (round 3)
+            ("tr1_ls8", dict(tree_tile=1, split_level=8)),
+            ("tr1_ls9", dict(tree_tile=1, split_level=9)),
+            ("tr2_ls8", dict(tree_tile=2, split_level=8)),
+            ("tr1_ls8_rt256", dict(tree_tile=1, split_level=8, row_tile=256)),
+            ("tr1_ls7", dict(tree_tile=1, split_level=7)),  # walled: records reason
             ("tr8_ls4", dict(tree_tile=8, split_level=4)),
-            ("tr4_ls5", dict(tree_tile=4, split_level=5)),
-            ("tr2_ls6", dict(tree_tile=2, split_level=6)),
-            ("tr1_ls7", dict(tree_tile=1, split_level=7)),
-            ("tr2_ls6_rt256", dict(tree_tile=2, split_level=6, row_tile=256)),
-            ("tr2_ls6_ch1024", dict(tree_tile=2, split_level=6,
-                                    col_chunk=1024)),
         ],
         "deep15": [
             ("auto", dict()),
-            ("tr4_ls5", dict(tree_tile=4, split_level=5)),
-            ("tr2_ls6", dict(tree_tile=2, split_level=6)),
-            ("tr1_ls7", dict(tree_tile=1, split_level=7)),
+            ("tr1_ls9", dict(tree_tile=1, split_level=9)),
+            ("tr1_ls10", dict(tree_tile=1, split_level=10)),
+            ("tr2_ls9", dict(tree_tile=2, split_level=9)),
             ("tr1_ls8", dict(tree_tile=1, split_level=8)),
-            ("tr1_ls7_rt256", dict(tree_tile=1, split_level=7, row_tile=256)),
+            ("tr1_ls9_rt256", dict(tree_tile=1, split_level=9, row_tile=256)),
         ],
     }
 

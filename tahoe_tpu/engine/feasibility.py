@@ -154,11 +154,20 @@ def check(strategy: Strategy, forest: ForestSpec,
             )
         row_tile, tree_tile = rank_default_tiles(forest, limits)
         if row_tile is None:
-            need = RankFoldEngine.min_vmem_bytes(forest.depth, 64, 8)
-            return (
+            from tahoe_tpu.forest.compiler import rank_groups
+
+            g = rank_groups(vcols)
+            need = RankFoldEngine.min_vmem_bytes(forest.depth, 64, 8, g)
+            msg = (
                 f"needs ~{need / 2**20:.1f} MiB VMEM per tile "
                 f"(budget {limits.usable_vmem / 2**20:.1f} MiB)"
             )
+            if g >= 3 and forest.depth >= 8:
+                # split levels with depth-Ls >= 7 at G >= 3 are excluded by
+                # the measured compile-time wall (rank_kernel.compile_wall)
+                msg += ("; deeper split levels excluded by the measured "
+                        ">13-min Mosaic compile wall (Db>=7 at G>=3, r2)")
+            return msg
     return None
 
 

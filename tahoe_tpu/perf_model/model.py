@@ -181,7 +181,7 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
 
         rt, tt = feasibility.rank_default_tiles(forest)
         limits = TpuLimits()
-        cands = RankFoldEngine.valid_split_levels(forest.depth, tt)
+        cands = RankFoldEngine.valid_split_levels(forest.depth, tt, G)
         ls = next(
             (l for l in cands if RankFoldEngine.vmem_bytes(
                 forest.depth, rt, tt, G, l
