@@ -189,6 +189,19 @@ def _branches():
 
     add("sparse_rank_kernel", sparse_rank)
 
+    def sparse_rank_stream():
+        # full depth-12 trees: the pool busts the VMEM budget, forcing the
+        # macro-streaming tier (round 3 loop-structured kernel)
+        from tahoe_tpu.ops.sparse_kernel import SparseRankEngine
+        from tahoe_tpu.forest import synthetic as syn
+
+        f = syn.generate_forest(8, 12, 10, seed=13)
+        eng = SparseRankEngine(f, row_tile=256, limits=limits)
+        assert not eng.resident, "expected streaming tier"
+        return eng, f, syn.generate_data(ROWS, f.num_cols, seed=13)
+
+    add("sparse_rank_stream", sparse_rank_stream)
+
     assert set(out) == set(BRANCH_NAMES), (
         set(out) ^ set(BRANCH_NAMES)
     )
@@ -222,7 +235,7 @@ BRANCH_NAMES = [
     "rank_deep12_split", "fold_ge_whole", "fold_deep12_split",
     "fold_sign_v1_100feat", "fold_sign_v3_300feat", "depth_bucketed_auto",
     "depth_bucketed_fold", "sharded_fold_1dev", "sharded_rank_1dev",
-    "sparse_csr_descent", "sparse_rank_kernel",
+    "sparse_csr_descent", "sparse_rank_kernel", "sparse_rank_stream",
 ]
 
 
