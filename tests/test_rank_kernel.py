@@ -230,3 +230,29 @@ def test_lead_modes_match_oracle(lead):
     got = np.asarray(eng.predict(data))
     want = oracle.predict(forest, data)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_compile_wall_guard():
+    """Configs behind the measured Mosaic compile wall (Db >= 7 at >= 3
+    plane groups: >13-min compile, r2) raise instead of hanging, and the
+    auto-chooser never picks them (rank_kernel.compile_wall)."""
+    import pytest
+
+    from tahoe_tpu.ops.rank_kernel import RankFoldEngine as E
+
+    assert E.compile_wall(14, 7, 3) is not None
+    assert E.compile_wall(12, 5, 1) is None       # deep12 tr8/ls5: measured OK
+    assert E.compile_wall(14, 8, 3) is None       # Db = 6: below the wall
+    assert E.compile_wall(14, 0, 3) is None       # whole-level never walled
+    assert 7 not in E.valid_split_levels(14, 1, groups=3)
+    assert 7 in E.valid_split_levels(14, 1)       # unfiltered list keeps it
+
+    # explicit request for a walled config must raise with the measured
+    # reason, not hang a sweep
+    deep = synthetic.generate_forest(4, 14, 6, seed=171)
+    from tahoe_tpu.forest.compiler import rank_groups
+    from tahoe_tpu.engine.feasibility import rank_virtual_cols
+
+    if rank_groups(rank_virtual_cols(deep)) >= 3:
+        with pytest.raises(NotImplementedError, match="compile"):
+            _engine(deep, row_tile=8, tree_tile=1, split_level=7)
