@@ -607,10 +607,13 @@ class RankFoldEngine:
         if wall is not None:
             raise NotImplementedError(wall)
         self.split_level = split_level
-        # wider matmul chunks measured best for the whole-level fold (1024 on
-        # v5e); the subtree-split kernel keeps the narrower proven default
+        # wider matmul chunks measured best on v5e: 1024 for the whole-level
+        # fold (r2) AND for shallow split engines (r3: SUSY ls4/rt1024
+        # planes 0.108 at cc1024 vs 0.117 at cc512, scripts/r3_headline.py);
+        # deep split kernels keep the narrower proven 512 (only config
+        # family measured there)
         self.col_chunk = col_chunk if col_chunk is not None else (
-            1024 if split_level == 0 else 512)
+            1024 if (split_level == 0 or lev.depth <= 10) else 512)
 
         need = self.vmem_bytes(lev.depth, row_tile, self.tree_tile,
                                self.groups, split_level)
