@@ -245,6 +245,14 @@ class FoldKernelEngine:
         else:
             w_top = row_tile * (1 << max(depth - 1, 0)) * tree_tile * 4
             w_live = w_top + w_top // 4
+        if sign_form and vregs >= 2:
+            # multi-vreg sign gathers keep per-level cond/select chains live
+            # alongside the frontier: measured 102.7M actual vs ~12M
+            # estimated on allstate-class (130 live features, depth 8,
+            # rt128/tt128 whole-forest — real scoped OOM, r3 sweep); x4 on
+            # the live term lands estimates in the calibrated band without
+            # killing the single-vreg sign configs proven in smoke
+            w_live *= 4
         return int(tables + w_live + row_tile * LANE * vregs * 8)
 
     @classmethod

@@ -94,7 +94,7 @@ class SparseLeveled(NamedTuple):
               j*128+lane = rank rule of local slot c_local*CH+j, tree lane)
     child     int32 [n_tiles, sc_all, CH, 128]
     val       f32  [n_tiles, sc_all, CH, 128]
-    roots     int32 [n_tiles, 128]
+    roots     int32 [n_tiles, 1, 128]
     """
 
     widths: Tuple[int, ...]
@@ -185,7 +185,11 @@ def build_sparse_leveled(sf, G: int, ch: int = 8) -> SparseLeveled:
     mats[:, :, RANK_LANE_C1, :] = -1
     child = np.zeros((n_tiles, sc_all, ch, LANE), np.int32)
     val = np.zeros((n_tiles, sc_all, ch, LANE), np.float32)
-    roots = np.zeros((n_tiles, LANE), np.int32)
+    # 3-D [n_tiles, 1, LANE] so the per-tile block's trailing dims (1, LANE)
+    # equal the array dims — a 2-D (1, LANE) block over (n_tiles, LANE) is
+    # rejected by Mosaic when n_tiles > 1 (sublane block 1 neither equals
+    # the array dim nor divides by 8; caught on hock_like, 3 tiles, r3)
+    roots = np.zeros((n_tiles, 1, LANE), np.int32)
 
     # local slot assignment: children of level-l internals get consecutive
     # slots in level l+1, starting at 1 (slot 0 = dead)
@@ -195,7 +199,7 @@ def build_sparse_leveled(sf, G: int, ch: int = 8) -> SparseLeveled:
         if per_level[0][t]:
             slot[per_level[0][t][0]] = 1
             next_free[0][t] = 2
-            roots[t // LANE, t % LANE] = 1
+            roots[t // LANE, 0, t % LANE] = 1
 
     ranks = sf.values  # f32 integer ranks at internal nodes
     for l in range(L + 1):
@@ -260,7 +264,8 @@ def _make_sparse_kernel(lv: SparseLeveled, Rt: int, K: int, n_macro: int,
 
         @pl.when(m == 0)
         def _():
-            idx_ref[:] = jnp.broadcast_to(roots_ref[0:1, :], (Rt, LANE))
+            idx_ref[:] = jnp.broadcast_to(roots_ref[0, 0:1, :],
+                                          (Rt, LANE))
             acc_ref[:] = jnp.zeros((Rt, LANE), jnp.float32)
 
         planes = p_ref[:]  # [Rt, 128G] int8
@@ -356,7 +361,7 @@ def sparse_rank_margins(lv: SparseLeveled, tables, planes_pad, Rt: int,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, K, ch, LANE), lambda t, r, m: (t, m, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, LANE), lambda t, r, m: (t, 0),
+        pl.BlockSpec((1, 1, LANE), lambda t, r, m: (t, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_spec = pl.BlockSpec((1, Rt, 1), lambda t, r, m: (t, r, 0),
