@@ -101,6 +101,14 @@ def rank_planes_kernel(x_canon, u_pad, *, row_tile: int = 256,
     if F > RANK_MAX_COLS:
         raise ValueError(f"rank planes support <= {RANK_MAX_COLS} features")
 
+    # flat-path scoped VMEM scales with Rt * k_pad * F (per-feature compare
+    # intermediates stay live): measured 100.7M real scoped OOM at
+    # (Rt 2048, k_pad 128, F 120) on gisette-class, r3 sweep. Halve the
+    # internal row tile until the estimate fits the budget (rows stay a
+    # multiple: callers pad to row_tile, and we only halve).
+    while row_tile > 128 and row_tile * k_pad * 4 * F > 48 * 2**20:
+        row_tile //= 2
+
     out32 = pl.pallas_call(
         _make_kernel(F, k_pad, row_tile),
         grid=(rows // row_tile,),
