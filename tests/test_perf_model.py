@@ -25,6 +25,11 @@ CASES = [
     ((30, 15, 16, 1000), {Strategy.RANK_MXU}),     # deep15 (fold infeasible)
     ((250, 9, 54, 6000),
      {Strategy.VMEM_FOREST, Strategy.RANK_MXU}),   # covtype-class near-tie
+    # r6 wide-family winners (sweep_results_r6.jsonl, all model-correct)
+    ((300, 8, 30, 8000), {Strategy.RANK_MXU}),     # hock-class
+    ((250, 8, 130, 5000), {Strategy.SPLIT_FOREST}),  # allstate-class
+    ((200, 8, 128, 5000), {Strategy.VMEM_FOREST}),   # aloi-class
+    ((200, 7, 68, 6000), {Strategy.VMEM_FOREST}),    # phishing-class
 ]
 
 
