@@ -57,14 +57,23 @@ def worker(pid: int, nprocs: int) -> int:
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def chain(x, k):
-            def body_fn(x):
-                # one psum over "model" per iteration; *0.5 keeps the value
-                # finite and the dependence chain unbroken
-                return jax.lax.psum(x * 0.5, "model")
+            def inner(xb):
+                # the carry must have a stable replication type under
+                # shard_map: start replicated (one psum), then each
+                # iteration re-varies it over "model" (axis_index term)
+                # before the next psum so every iteration runs a REAL
+                # collective with an unbroken dependence chain
+                idx = jax.lax.axis_index("model").astype(jnp.float32)
+
+                def body_fn(_, v):
+                    w = v * jnp.float32(0.5) + idx * jnp.float32(1e-6)
+                    return jax.lax.psum(w, "model")
+
+                v0 = jax.lax.psum(xb, "model")
+                return jax.lax.fori_loop(0, k, body_fn, v0)
 
             f = shard_map(
-                lambda x: jax.lax.fori_loop(
-                    0, k, lambda _, v: body_fn(v), x),
+                inner,
                 mesh=mesh, in_specs=P("data", "model"),
                 out_specs=P("data", None),
             )
