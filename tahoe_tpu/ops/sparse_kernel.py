@@ -244,14 +244,10 @@ def build_sparse_leveled(sf, G: int, ch: int = 8) -> SparseLeveled:
     )
 
 
-def _make_sparse_kernel(lv: SparseLeveled, Rt: int, K: int, n_macro: int,
-                        Km: int):
-    """One uniform body: fori_loop over the macro's K chunks; state in
-    scratch. Statement count is O(CH + levels), independent of pool size.
-
-    ``Km`` is the mats block's chunk count (== sc_mat when the pool is
-    resident, == K when streaming); leaf chunks clamp their mats read into
-    bounds — the value is never used (is_internal gates the dot)."""
+def _make_sparse_kernel(lv: SparseLeveled, Rt: int, K: int, n_macro: int):
+    """Two fori_loops over the macro's chunks (internal then leaf, split at
+    a traced bound); state in scratch. Statement count is O(CH + levels),
+    independent of pool size."""
     G, ch = lv.groups, lv.ch
     coff = lv.coff
     nch = lv.nch
@@ -270,11 +266,14 @@ def _make_sparse_kernel(lv: SparseLeveled, Rt: int, K: int, n_macro: int,
 
         planes = p_ref[:]  # [Rt, 128G] int8
 
-        def chunk_body(kc, carry):
-            gc = m * K + kc
-
-            @pl.when(gc < sc_all)
-            def _():
+        def make_body(internal: bool):
+            # two trace-time variants instead of a per-chunk lax.cond: the
+            # internal/leaf split point within this macro is a traced loop
+            # bound, so the hot internal body carries no per-chunk branch
+            # (measured: the cond variant ran rf_deep16 3x slower than
+            # round 2's unrolled kernel — SPARSE_TUNE_r03.json)
+            def chunk_body(kc, carry):
+                gc = m * K + kc
                 # static level layout -> a handful of scalar compares
                 base = jnp.int32(0)
                 is_first = gc == 0
@@ -288,25 +287,20 @@ def _make_sparse_kernel(lv: SparseLeveled, Rt: int, K: int, n_macro: int,
                         is_commit = jnp.logical_or(
                             is_commit, gc == (coff[l + 1] - 1))
                 slot0 = (gc - base) * ch
-                is_internal = gc < sc_mat
 
                 @pl.when(is_first)
                 def _():
                     nxt_ref[:] = jnp.zeros((Rt, LANE), jnp.int32)
 
-                # MXU conds for this chunk's ch*128 columns; leaf chunks
-                # skip the dot (their mats block is a clamped re-read of
-                # the last internal macro — valid address, unused bits)
-                mk = jnp.minimum(kc, Km - 1)
-                conds = jax.lax.cond(
-                    is_internal,
-                    lambda: (jax.lax.dot_general(
-                        planes, mats_ref[0, mk],
+                if internal:
+                    # MXU conds for this chunk's ch*128 columns (kc is in
+                    # mats-block bounds by construction: gc < sc_mat only
+                    # happens in un-clamped macros)
+                    conds = (jax.lax.dot_general(
+                        planes, mats_ref[0, kc],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
-                    ) >= 0).astype(jnp.int32),
-                    lambda: jnp.zeros((Rt, ch * LANE), jnp.int32),
-                )
+                    ) >= 0).astype(jnp.int32)
 
                 idx = idx_ref[:]
                 acc = acc_ref[:]
@@ -317,19 +311,29 @@ def _make_sparse_kernel(lv: SparseLeveled, Rt: int, K: int, n_macro: int,
                     sel = idx == (slot0 + j)
                     vrow = jnp.broadcast_to(vch[j : j + 1, :], (Rt, LANE))
                     acc = acc + jnp.where(sel, vrow, jnp.float32(0.0))
-                    crow = jnp.broadcast_to(cch[j : j + 1, :], (Rt, LANE))
-                    cand = crow + conds[:, j * LANE : (j + 1) * LANE]
-                    nxt = jnp.where(sel, cand, nxt)
+                    if internal:
+                        crow = jnp.broadcast_to(cch[j : j + 1, :],
+                                                (Rt, LANE))
+                        cand = crow + conds[:, j * LANE : (j + 1) * LANE]
+                        nxt = jnp.where(sel, cand, nxt)
                 acc_ref[:] = acc
-                nxt_ref[:] = nxt
+                if internal:
+                    nxt_ref[:] = nxt
 
-                @pl.when(is_commit)
-                def _():
-                    idx_ref[:] = nxt_ref[:]
+                    @pl.when(is_commit)
+                    def _():
+                        idx_ref[:] = nxt_ref[:]
 
-            return carry
+                return carry
 
-        jax.lax.fori_loop(0, K, chunk_body, jnp.int32(0))
+            return chunk_body
+
+        # chunk ranges within this macro: [0, k_int) internal, [k_int,
+        # k_act) leaf; trailing padding chunks [k_act, K) never run
+        k_int = jnp.clip(sc_mat - m * K, 0, K)
+        k_act = jnp.clip(sc_all - m * K, 0, K)
+        jax.lax.fori_loop(0, k_int, make_body(True), jnp.int32(0))
+        jax.lax.fori_loop(k_int, k_act, make_body(False), jnp.int32(0))
 
         @pl.when(m == n_macro - 1)
         def _():
@@ -367,7 +371,7 @@ def sparse_rank_margins(lv: SparseLeveled, tables, planes_pad, Rt: int,
     out_spec = pl.BlockSpec((1, Rt, 1), lambda t, r, m: (t, r, 0),
                             memory_space=pltpu.VMEM)
     partials = pl.pallas_call(
-        _make_sparse_kernel(lv, Rt, K, n_macro, Km),
+        _make_sparse_kernel(lv, Rt, K, n_macro),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
