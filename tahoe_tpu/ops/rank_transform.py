@@ -105,8 +105,13 @@ def rank_planes_kernel(x_canon, u_pad, *, row_tile: int = 256,
     # intermediates stay live): measured 100.7M real scoped OOM at
     # (Rt 2048, k_pad 128, F 120) on gisette-class, r3 sweep. Halve the
     # internal row tile until the estimate fits the budget (rows stay a
-    # multiple: callers pad to row_tile, and we only halve).
-    while row_tile > 128 and row_tile * k_pad * 4 * F > 48 * 2**20:
+    # multiple: callers pad to row_tile, and we only halve). Budget comes
+    # from TpuLimits so a cap recalibration moves this guard too (ADVICE r3
+    # #4; 48 MiB at the current 64 MiB x 0.75 calibration).
+    from tahoe_tpu.config import TpuLimits
+
+    budget = TpuLimits().usable_vmem
+    while row_tile > 128 and row_tile * k_pad * 4 * F > budget:
         row_tile //= 2
 
     out32 = pl.pallas_call(

@@ -83,6 +83,10 @@ from tahoe_tpu.ops.transform import apply_output_transform
 # inside the 64 MiB scoped budget
 MACRO_TARGET_BYTES = 4 * 1024 * 1024
 
+# default descent row tile — shared with the perf model's streamed-pass
+# count (ADVICE r3 #2: a retune here must move both)
+SPARSE_DEFAULT_ROW_TILE = 256
+
 
 class SparseLeveled(NamedTuple):
     """Per-level chunk-packed sparse forest for the descent kernel.
@@ -396,7 +400,8 @@ class SparseRankEngine:
     pools that fit VMEM stay resident across row tiles; bigger pools stream
     macro blocks through the Pallas pipeline."""
 
-    def __init__(self, forest: ForestSpec, *, row_tile: int = 256,
+    def __init__(self, forest: ForestSpec, *,
+                 row_tile: int = SPARSE_DEFAULT_ROW_TILE,
                  interpret: bool = False, band: int | None = None,
                  col_chunk: int = 1024, limits: TpuLimits = TpuLimits()):
         from tahoe_tpu.forest import sparse as sp
@@ -464,6 +469,18 @@ class SparseRankEngine:
         """(mats, child+val) bytes per CH-slot chunk."""
         return 128 * G * ch * LANE, 2 * ch * LANE * 4
 
+    @staticmethod
+    def _fixed_bytes(lv: SparseLeveled, row_tile: int) -> int:
+        """Pool-independent per-grid-cell VMEM: planes block (x2 — the grid
+        revolves over row tiles, so Pallas double-buffers the streamed
+        block), the conds matmul intermediate ([Rt, ch*128] int32 — ~1 MiB
+        at Rt=256/ch=8; omitting it planned near-boundary pools resident
+        that scoped-OOMed, ADVICE r3 #3), idx/acc/nxt scratch, out block."""
+        return (2 * row_tile * LANE * lv.groups        # planes block (dbuf)
+                + row_tile * lv.ch * LANE * 4          # conds intermediate
+                + 3 * row_tile * LANE * 4              # idx/acc/nxt scratch
+                + row_tile * 4)                        # out block
+
     @classmethod
     def plan_macro(cls, lv: SparseLeveled, row_tile: int,
                    limits: TpuLimits) -> Tuple[int, bool]:
@@ -472,9 +489,7 @@ class SparseRankEngine:
         tree grid has >1 tile — same calibration as the dense kernels);
         otherwise ~MACRO_TARGET_BYTES blocks stream through the pipeline."""
         mb, wb = cls._chunk_bytes(lv.groups, lv.ch)
-        fixed = (row_tile * LANE * lv.groups      # planes block
-                 + 3 * row_tile * LANE * 4        # idx/acc/nxt scratch
-                 + row_tile * 4)                  # out block
+        fixed = cls._fixed_bytes(lv, row_tile)
         dbuf = 2 if lv.n_tiles > 1 else 1
         full = lv.sc_mat * mb + lv.sc_all * wb
         if dbuf * full + fixed <= limits.usable_vmem:
@@ -504,8 +519,7 @@ class SparseRankEngine:
     def vmem_bytes(cls, lv: SparseLeveled, row_tile: int,
                    macro_chunks: int | None = None) -> int:
         mb, wb = cls._chunk_bytes(lv.groups, lv.ch)
-        fixed = (row_tile * LANE * lv.groups + 3 * row_tile * LANE * 4
-                 + row_tile * 4)
+        fixed = cls._fixed_bytes(lv, row_tile)
         if macro_chunks is None or macro_chunks >= lv.sc_all:
             dbuf = 2 if lv.n_tiles > 1 else 1
             return dbuf * (lv.sc_mat * mb + lv.sc_all * wb) + fixed

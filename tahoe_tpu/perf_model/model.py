@@ -136,12 +136,21 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
             compute += _rank_transform_cost(forest, vcols, rows)
             mats_bytes = n_tiles * summat * 128 * G * 128
             cv_bytes = n_tiles * slots * 128 * 8
-            resident = 2 * (mats_bytes + cv_bytes) // max(n_tiles, 1)
+            # mirror plan_macro's residency rule: the pipeline only
+            # double-buffers the pool when the tree grid has > 1 tile
+            # (ADVICE r3 #1 — a single-tile pool at 50-100% of budget is
+            # resident in the engine, not streaming)
+            dbuf = 2 if n_tiles > 1 else 1
+            resident = dbuf * (mats_bytes + cv_bytes) // max(n_tiles, 1)
             memory = 0.0
             if resident > TpuLimits().usable_vmem:
                 # streamed macro blocks re-ship per row tile; Pallas
                 # double-buffers them against compute — charge the surplus
-                passes = max(1.0, rows / 256.0)
+                from tahoe_tpu.ops.sparse_kernel import (
+                    SPARSE_DEFAULT_ROW_TILE,
+                )
+
+                passes = max(1.0, rows / SPARSE_DEFAULT_ROW_TILE)
                 stream = passes * (mats_bytes + cv_bytes) / (
                     RANK_STREAM_GBPS * 1e9)
                 memory = max(0.0, stream - compute)
