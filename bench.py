@@ -106,14 +106,14 @@ def main() -> int:
     # --- secondary: int8 rank-MXU engine ------------------------------------
     # (1024, 128) auto-split (ls4) measured best in r2 (scripts/ls_sweep2-4):
     # big row tiles amortize MXU weight loads, subtree-split keeps fold
-    # chains vreg-resident. r3 retune (scripts/r3_headline.py, same-session
-    # 65536-row comparisons): col_chunk 1024 beats 512 by 8% on the planes
-    # path (0.108 vs 0.117) and transform_row_tile 4096 beats 2048 on full
-    # predict (0.099 vs 0.129) — the transform's dots are weight-load bound
-    # below ~4096 rows at this batch size
+    # chains vreg-resident; col_chunk 1024 beats 512 by 8% on the planes
+    # path (r3). transform_row_tile: r3's trt4096 "0.099" was DRIFT (it
+    # beat the planes-only path, impossible); the r4 same-session sweep
+    # (scripts/trt_sweep.py, 65536 rows, medians-of-3) measured trt1024
+    # 0.1298 / trt2048 0.1273 / trt4096 0.1314 — trt2048 ships
     rank = RankFoldEngine(
         forest, row_tile=1024, tree_tile=128, split_level=4, col_chunk=1024,
-        transform_row_tile=4096, interpret=interpret, limits=TpuLimits(),
+        transform_row_tile=2048, interpret=interpret, limits=TpuLimits(),
     )
     t_rank_full, t_rank_lo, t_rank_hi = median3(
         lambda k: rank.predict_k(data_d, k))

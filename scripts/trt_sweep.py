@@ -39,7 +39,7 @@ def main() -> int:
     def fence(r):
         return float(np.asarray(r).ravel()[0])
 
-    def slope(run_k, k1=3, k2=19, n=3):
+    def slope(run_k, k1=3, k2=27, n=3):  # bench.py's k values → cache reuse
         def timed(k):
             fence(run_k(k))
             ts = []

