@@ -106,13 +106,15 @@ def main() -> int:
     # --- secondary: int8 rank-MXU engine ------------------------------------
     # (1024, 128) auto-split (ls4) measured best in r2 (scripts/ls_sweep2-4):
     # big row tiles amortize MXU weight loads, subtree-split keeps fold
-    # chains vreg-resident; col_chunk 1024 beats 512 by 8% on the planes
-    # path (r3). transform_row_tile: r3's trt4096 "0.099" was DRIFT (it
-    # beat the planes-only path, impossible); the r4 same-session sweep
-    # (scripts/trt_sweep.py, 65536 rows, medians-of-3) measured trt1024
-    # 0.1298 / trt2048 0.1273 / trt4096 0.1314 — trt2048 ships
+    # chains vreg-resident. transform_row_tile: r3's trt4096 "0.099" was
+    # DRIFT (it beat the planes-only path, impossible); the r4 same-session
+    # sweep (scripts/trt_sweep.py, 65536 rows, medians-of-3) measured
+    # trt1024 0.1298 / trt2048 0.1273 / trt4096 0.1314 — trt2048 ships.
+    # col_chunk 2048 = one whole bottom slab per dot at ls4; r4 same-session
+    # (scripts/r4_headline.py): full 0.1203 [0.1186, 0.1268] vs 0.1287 at
+    # cc1024
     rank = RankFoldEngine(
-        forest, row_tile=1024, tree_tile=128, split_level=4, col_chunk=1024,
+        forest, row_tile=1024, tree_tile=128, split_level=4, col_chunk=2048,
         transform_row_tile=2048, interpret=interpret, limits=TpuLimits(),
     )
     t_rank_full, t_rank_lo, t_rank_hi = median3(

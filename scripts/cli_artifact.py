@@ -1,0 +1,42 @@
+"""End-to-end CLI artifact: trained forest → text files → full CLI protocol.
+
+The reference's actual user journey is ``./Tahoe MODEL DATA`` over a
+downloaded trained model (main.cu:7-17, run_all_15_examples.sh); this drives
+the same file-to-verdict path on chip: forest/train.py CART ensemble →
+io.save_model/save_data (byte-compatible reference text formats) →
+``python -m tahoe_tpu.cli`` → transcript committed as CLI_RUN_r04.txt.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=... \
+      timeout 3600 python scripts/cli_artifact.py > CLI_RUN_r04.txt 2>&1
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> int:
+    import numpy as np
+
+    from tahoe_tpu.forest import io, synthetic
+    from tahoe_tpu.forest.train import train_forest
+
+    os.makedirs("/tmp/tahoe_fixture", exist_ok=True)
+    mp = "/tmp/tahoe_fixture/model_rf.txt"
+    dp = "/tmp/tahoe_fixture/data_rf.txt"
+
+    spec = train_forest(200, 10, 24, rows=4096, seed=7)
+    data = synthetic.generate_data(4000, 24, missing_prob=0.01, seed=8)
+    io.save_model(mp, spec)
+    io.save_data(dp, data.astype(np.float32), float(spec.missing))
+    print(f"fixture: trained forest {spec.num_trees} trees depth "
+          f"{spec.depth} -> {mp}; {data.shape[0]} rows -> {dp}", flush=True)
+
+    from tahoe_tpu import cli
+
+    return cli.main([mp, dp, "--epochs", "30"])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,25 +69,33 @@ def main() -> int:
         results[tag] = v
         print(json.dumps({tag: v}), flush=True)
 
+    # round 2 (same file, second run): cc2048 won round 1 (0.1203 vs 0.1287
+    # at cc1024 — one whole ls4 bottom slab per dot); probe the neighbors.
+    # rt2048 needs the loosened budget: the x2 split derate is calibrated on
+    # deep G=3 shapes and the estimate (34.8 MiB) is well under the 64 MiB
+    # Mosaic cap — attempt the real compile and let Mosaic arbitrate.
+    loose = TpuLimits(vmem_fraction=1.2)
     CONFIGS = [
-        ("rt1024_ls4_cc1024", dict(row_tile=1024, split_level=4,
-                                   col_chunk=1024)),
-        ("rt2048_ls4_cc1024", dict(row_tile=2048, split_level=4,
-                                   col_chunk=1024)),
-        ("rt2048_ls4_cc2048", dict(row_tile=2048, split_level=4,
-                                   col_chunk=2048)),
-        ("rt2048_ls5_cc1024", dict(row_tile=2048, split_level=5,
-                                   col_chunk=1024)),
         ("rt1024_ls4_cc2048", dict(row_tile=1024, split_level=4,
+                                   col_chunk=2048)),
+        ("rt1024_ls3_cc2048", dict(row_tile=1024, split_level=3,
+                                   col_chunk=2048)),
+        ("rt1024_ls3_cc4096", dict(row_tile=1024, split_level=3,
+                                   col_chunk=4096)),
+        ("rt2048_ls4_cc2048_loose", dict(row_tile=2048, split_level=4,
+                                         col_chunk=2048, limits=loose)),
+        ("rt1024_ls5_cc2048", dict(row_tile=1024, split_level=5,
                                    col_chunk=2048)),
     ]
 
     checked = False
     for tag, kw in CONFIGS:
         try:
+            kw = dict(kw)
+            limits = kw.pop("limits", TpuLimits())
             eng = RankFoldEngine(forest, tree_tile=128,
                                  transform_row_tile=2048,
-                                 interpret=interpret, limits=TpuLimits(),
+                                 interpret=interpret, limits=limits,
                                  **kw)
         except Exception as e:  # noqa: BLE001
             out(tag, f"{type(e).__name__}: {str(e)[:160]}")

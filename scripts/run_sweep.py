@@ -124,6 +124,20 @@ def main() -> int:
         print(f"calibration failed ({e}); using defaults", flush=True)
         cal = calibrate.Calibration.default()
 
+    # engine-version stamp: records measured under an older kernel are
+    # mechanically detectable as stale (VERDICT r3 #4 — r6's sparse rows
+    # predated the 3x loop-kernel fix and nothing flagged it)
+    import subprocess
+
+    try:
+        engine_commit = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        engine_commit = "unknown"
+
     results = []
     for kind, name, payload in cases:
         if kind == "file":
@@ -190,6 +204,8 @@ def main() -> int:
                 for s, r in res.items() if not r.ran
             },
             "wall_s": round(time.perf_counter() - t0, 1),
+            "engine_commit": engine_commit,
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
         results.append(rec)
         with open(args.out, "a") as f:

@@ -168,6 +168,20 @@ def _branches():
     add("sharded_fold_1dev", sharded("fold"))
     add("sharded_rank_1dev", sharded("rank"))
 
+    def sharded_sparse():
+        import jax
+
+        from tahoe_tpu.parallel.mesh import make_mesh
+        from tahoe_tpu.parallel.sharded import ShardedSparseEngine
+        from tahoe_tpu.forest import synthetic as syn
+
+        f = _mixed_depth_forest(seed=15)
+        mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        eng = ShardedSparseEngine(f, mesh, row_tile=256)
+        return eng, f, syn.generate_data(ROWS, f.num_cols, seed=15)
+
+    add("sharded_sparse_1dev", sharded_sparse)
+
     def sparse():
         from tahoe_tpu.forest import sparse as sp
 
@@ -235,6 +249,7 @@ BRANCH_NAMES = [
     "rank_deep12_split", "fold_ge_whole", "fold_deep12_split",
     "fold_sign_v1_100feat", "fold_sign_v3_300feat", "depth_bucketed_auto",
     "depth_bucketed_fold", "sharded_fold_1dev", "sharded_rank_1dev",
+    "sharded_sparse_1dev",
     "sparse_csr_descent", "sparse_rank_kernel", "sparse_rank_stream",
 ]
 

@@ -253,7 +253,7 @@ def main() -> int:
     # count its matmuls perform (every column of every level matrix, incl.
     # 128-lane padding, once per row) over the measured plane-resident time
     ship = RankFoldEngine(forest, row_tile=1024, tree_tile=128,
-                          split_level=4, col_chunk=1024,
+                          split_level=4, col_chunk=2048,
                           transform_row_tile=2048, interpret=interpret,
                           limits=TpuLimits())
     mat_cols = sum(int(tb.shape[-1]) for tb in ship.tables[:-1])
