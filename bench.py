@@ -104,17 +104,19 @@ def main() -> int:
     err = float(np.abs(np.asarray(preds) - want).max())
 
     # --- secondary: int8 rank-MXU engine ------------------------------------
-    # (1024, 128) auto-split (ls4) measured best in r2 (scripts/ls_sweep2-4):
-    # big row tiles amortize MXU weight loads, subtree-split keeps fold
-    # chains vreg-resident. transform_row_tile: r3's trt4096 "0.099" was
-    # DRIFT (it beat the planes-only path, impossible); the r4 same-session
-    # sweep (scripts/trt_sweep.py, 65536 rows, medians-of-3) measured
-    # trt1024 0.1298 / trt2048 0.1273 / trt4096 0.1314 — trt2048 ships.
-    # col_chunk 2048 = one whole bottom slab per dot at ls4; r4 same-session
-    # (scripts/r4_headline.py): full 0.1203 [0.1186, 0.1268] vs 0.1287 at
-    # cc1024
+    # (2048, 128) ls4: the r4 session-2 sweeps (scripts/r4_headline{,3}.py,
+    # 65536 rows, medians-of-3, SAME session) measured rt2048 full 0.1228
+    # [0.1186, 0.1260] / 0.1240 [0.1234, 0.1246] vs rt1024's 0.1285 — the
+    # per-chunk dots latch a 128x128 weight tile per 128 output columns, so
+    # MXU weight-load efficiency ~ Rt/(Rt+128): 94% at rt2048 vs 89%.
+    # rt4096 (68.8 MiB) busts the 64 MiB Mosaic cap; ls5/cc4096 measured
+    # worse. transform_row_tile: r3's trt4096 "0.099" was DRIFT (it beat
+    # the planes-only path, impossible); r4 re-measures: trt2048 0.1273 /
+    # trt4096 0.1314 (trt_sweep), 0.1265 vs rt2048's 0.1240 (r4_headline3)
+    # — trt2048 ships. col_chunk 2048 = one whole bottom slab per dot at
+    # ls4 (0.1203 vs 0.1287 at cc1024, r4_headline round 1).
     rank = RankFoldEngine(
-        forest, row_tile=1024, tree_tile=128, split_level=4, col_chunk=2048,
+        forest, row_tile=2048, tree_tile=128, split_level=4, col_chunk=2048,
         transform_row_tile=2048, interpret=interpret, limits=TpuLimits(),
     )
     t_rank_full, t_rank_lo, t_rank_hi = median3(

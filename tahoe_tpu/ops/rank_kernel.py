@@ -586,6 +586,12 @@ class RankFoldEngine:
             # smallest split level whose peak VMEM fits (0 = whole-level
             # fold); deepest split as last resort. Compile-walled levels
             # (measured >13-min Mosaic compiles) are never auto-chosen.
+            # The fit test deliberately stays on the DERATED budget even at
+            # G=1 (where explicit configs get the full budget below): the
+            # halved budget doubles as a performance prior — it lands on
+            # ls4 for SUSY-class shapes, the measured best (ls3/ls5 were
+            # 5-10% slower, scripts/r4_headline{,3}.py), where the full
+            # budget would pick the unmeasured ls2 with its 4x w_live.
             candidates = self.valid_split_levels(lev.depth, self.tree_tile,
                                                  self.groups)
             split_level = next(
@@ -617,7 +623,7 @@ class RankFoldEngine:
 
         need = self.vmem_bytes(lev.depth, row_tile, self.tree_tile,
                                self.groups, split_level)
-        budget = self.split_budget(split_level, limits)
+        budget = self.split_budget(split_level, limits, self.groups)
         if not interpret and need > budget:
             raise ValueError(
                 f"tile needs ~{need/2**20:.1f} MiB VMEM > budget "
@@ -661,13 +667,20 @@ class RankFoldEngine:
                    + row_tile * LANE * groups * 8)
 
     @staticmethod
-    def split_budget(split_level: int, limits: TpuLimits) -> int:
+    def split_budget(split_level: int, limits: TpuLimits,
+                     groups: int = 2) -> int:
         """Budget the vmem estimate is compared against. Whole-level (0)
         estimates are validated against real Mosaic compiles up to 40.5 MiB
         actual; the subtree-split estimates run up to ~2.4x under actual at
-        multi-group shapes (deep-14 G=3: est 39.9, actual 97.3 scoped OOM),
-        so split configs get half the budget."""
-        return limits.usable_vmem if split_level == 0 else limits.usable_vmem // 2
+        MULTI-group shapes (deep-14 G=3: est 39.9, actual 97.3 scoped OOM),
+        so split configs at groups >= 2 get half the budget. Single-group
+        split estimates track real compiles (SUSY rt2048/tt128/ls4 G=1:
+        est 36.4 MiB, compiled + ran on chip, scripts/r4_headline3.py r4)
+        and get the full budget; ``groups`` defaults to the derated side so
+        legacy callers stay conservative."""
+        if split_level == 0 or groups <= 1:
+            return limits.usable_vmem
+        return limits.usable_vmem // 2
 
     @staticmethod
     def compile_wall(depth: int, split_level: int, groups: int):
@@ -707,12 +720,12 @@ class RankFoldEngine:
     def min_vmem_bytes(cls, depth: int, row_tile: int, tree_tile: int,
                        groups: int = 1) -> int:
         """Min budget-equivalent VMEM over allowed split levels (for
-        feasibility; compare against limits.usable_vmem). Split-level
-        estimates are doubled to mirror split_budget's derating; compile-
-        walled levels are excluded."""
+        feasibility; compare against limits.usable_vmem). Multi-group
+        split-level estimates are doubled to mirror split_budget's
+        derating; compile-walled levels are excluded."""
         return min(
             cls.vmem_bytes(depth, row_tile, tree_tile, groups, ls)
-            * (1 if ls == 0 else 2)
+            * (1 if (ls == 0 or groups <= 1) else 2)
             for ls in cls.valid_split_levels(depth, tree_tile, groups)
         )
 

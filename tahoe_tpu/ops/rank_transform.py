@@ -8,9 +8,11 @@ per row tile, for each feature, one broadcast compare of the row's value
 against the feature's sorted threshold row and a lane reduction, then the
 base-127 plane encoding (quantize.encode_rank_planes_*) emitted directly.
 
-Output is int32 plane vectors (Mosaic on this target cannot truncate to int8
-in-kernel); the caller casts to int8 in XLA, which is a single cheap
-elementwise pass.
+The v1 (flat) kernel and the bf16 v2 fallback emit int32 plane vectors with
+an XLA cast to int8 outside (the round-1 Mosaic build could not truncate to
+int8 in-kernel). The default int8 v2 path writes int8 planes directly AND
+runs its one-hot digit matmuls at the MXU int8 rate — both proven exact on
+the real v5e in r4 (scripts/int8_cast_probe.py).
 """
 from __future__ import annotations
 
@@ -28,6 +30,12 @@ from tahoe_tpu.forest.compiler import (
 )
 from tahoe_tpu.ops.fold_kernel import LANE, _round_up
 from tahoe_tpu.ops.mosaic import compile_kwargs
+
+# Default digit-plane dtype for the v2 bucketed transform. int8 runs the
+# one-hot digit matmuls (~70% of transform MXU work) at 2x the bf16 rate;
+# proven exact + compiling on the real v5e in r4 (scripts/int8_cast_probe.py,
+# scripts/int8_transform_smoke.py). Flip to False to force the bf16 path.
+INT8_TRANSFORM = True
 
 
 def _assemble_planes(q, nan_mask, F: int, row_tile: int):
@@ -177,9 +185,16 @@ def _signed_digits(keys: np.ndarray) -> np.ndarray:
     return out
 
 
-def build_bucket_tables(tables, num_cols: int):
+def build_bucket_tables(tables, num_cols: int, digit_dtype=None):
     """Per-feature sorted thresholds → (cmax [F_pad,128] int32, digit planes
-    bf16, S, paired) for the v2 kernel. Each feature's table is padded to
+    int8 (default) or bf16, S, paired) for the v2 kernel.
+
+    Digits are ints in [-128, 127]: exact in EITHER dtype. int8 planes run
+    the one-hot digit matmuls at the MXU's int8 rate (2x bf16) with int32
+    accumulation — the digit matmul is ~70% of the transform's MXU work, so
+    this is the difference between the transform riding at bf16 vs int8
+    roofline (r4: in-kernel int8 truncation proven on chip,
+    scripts/int8_cast_probe.py — the round-1 Mosaic limitation is gone). Each feature's table is padded to
     128*S with INT32_MAX keys (never <= any finite x); S is chosen so every
     feature has at least one pad element, guaranteeing b < 128. The feature
     axis is padded to whole 30-feature plane groups (all-INT32_MAX tables →
@@ -223,7 +238,9 @@ def build_bucket_tables(tables, num_cols: int):
         planes = np.ascontiguousarray(digs.transpose(1, 2, 0, 3)).reshape(
             F, 128, 4 * Sh
         )
-    return jnp.asarray(cmax), jnp.asarray(planes, jnp.bfloat16), S, paired
+    if digit_dtype is None:
+        digit_dtype = jnp.int8 if INT8_TRANSFORM else jnp.bfloat16
+    return jnp.asarray(cmax), jnp.asarray(planes, digit_dtype), S, paired
 
 
 def _assemble_group(q, nan_mask, row_tile: int):
@@ -250,7 +267,8 @@ def _assemble_group(q, nan_mask, row_tile: int):
 
 
 def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
-                    group_mode: bool = False, schedule: str = "chain"):
+                    group_mode: bool = False, schedule: str = "chain",
+                    int8_mode: bool = False):
     INT_MAX_POS = 0x7FFFFFFF
     # group mode: each grid step handles ONE 30-feature plane group whose
     # features sit in lanes [0, 30) of its x slot; tables stream per group
@@ -270,7 +288,13 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
         # NaN keys are large-positive; masked out at the end like v1
         nan_mask = (x[:, :F_loc] != x[:, :F_loc]).astype(jnp.int32)
 
-        one_col = jnp.ones((row_tile, 1), jnp.bfloat16)
+        # int8 mode: compares/one-hots live in int32 on the VPU (sub-32-bit
+        # VPU ops are off-limits on this target) and are truncated to int8
+        # ONLY at the matmul inputs, so every dot runs at the MXU's int8
+        # rate with exact int32 accumulation. bf16 mode is the proven
+        # fallback (digits in [-128,127] are exact either way).
+        cmp_dt = jnp.int32 if int8_mode else jnp.bfloat16
+        one_col = jnp.ones((row_tile, 1), cmp_dt)
 
         def shift_one_hot(full):
             # one_hot(b) = shift-in-1(full) - full (exactly one 1 at the
@@ -279,7 +303,26 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
                 [one_col, full[:, : LANE - 1]], axis=1
             ) - full
 
+        def mm(lhs, rhs_ref_val):
+            if int8_mode:
+                return jax.lax.dot_general(
+                    lhs.astype(jnp.int8), rhs_ref_val,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            return jax.lax.dot_general(
+                lhs, rhs_ref_val, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
         def combine(m, w):
+            if int8_mode:
+                # int32 digit sums: key = (d0 + d1<<8) + ((d2 + d3<<8) << 16)
+                # — exact in wrapping int32 (_signed_digits verifies the
+                # reconstruction); matches Mosaic's int32 shift support
+                p01 = m[:, :w] + (m[:, w : 2 * w] << 8)
+                p23 = m[:, 2 * w : 3 * w] + (m[:, 3 * w :] << 8)
+                return p01 + (p23 << 16)
             # digit slots → int32 keys: pairwise f32 combine is exact
             # (|d0 + 256*d1| < 2^17 < 2^24), then one int32 shift-add
             p01 = m[:, :w] + m[:, w : 2 * w] * jnp.float32(256.0)
@@ -302,19 +345,16 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
                 f0, f1 = p, min(p + 1, F_loc - 1)
                 xk0 = xkey[:, f0 : f0 + 1]
                 xk1 = xkey[:, f1 : f1 + 1]
-                full0 = (xk0 >= cmax_row(f0)).astype(jnp.bfloat16)
-                full1 = (xk1 >= cmax_row(f1)).astype(jnp.bfloat16)
+                full0 = (xk0 >= cmax_row(f0)).astype(cmp_dt)
+                full1 = (xk1 >= cmax_row(f1)).astype(cmp_dt)
                 oh2 = jnp.concatenate(
                     [shift_one_hot(full0), shift_one_hot(full1)], axis=1
                 )  # [Rt, 256]
                 return xk0, xk1, full0, full1, oh2
 
             def digit_mm(p, oh2):
-                return jax.lax.dot_general(
-                    oh2, digs_ref[p // 2],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [Rt, 4*128]: both features' digit slots
+                return mm(oh2, digs_ref[p // 2])
+                # [Rt, 4*128]: both features' digit slots
 
             def stage2(st, m):
                 xk0, xk1, full0, full1, _ = st
@@ -323,19 +363,18 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
                     [jnp.broadcast_to(xk0, (row_tile, LANE // 2)),
                      jnp.broadcast_to(xk1, (row_tile, LANE // 2))], axis=1
                 )
-                pc = (xk2 >= elem).astype(jnp.bfloat16)  # [Rt, 128]
+                pc = (xk2 >= elem).astype(cmp_dt)  # [Rt, 128]
                 return jnp.concatenate([full0, full1, pc], axis=1)
 
             def reduce_mm(fp):
-                return jax.lax.dot_general(
-                    fp, qw_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # cols: b0, b1, part0, part1
+                return mm(fp, qw_ref[:])
+                # cols: b0, b1, part0, part1
 
             def emit(p, qv):
-                ranks.append(qv[:, 0:1] * jnp.float32(S) + qv[:, 2:3])
+                s = jnp.int32(S) if int8_mode else jnp.float32(S)
+                ranks.append(qv[:, 0:1] * s + qv[:, 2:3])
                 if min(p + 1, F_loc - 1) > p:
-                    ranks.append(qv[:, 1:2] * jnp.float32(S) + qv[:, 3:4])
+                    ranks.append(qv[:, 1:2] * s + qv[:, 3:4])
 
             if schedule == "phase":
                 sts = [stage1(p) for p in pairs]
@@ -351,28 +390,24 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
         else:
             def one_feature(f):
                 xk = xkey[:, f : f + 1]  # [Rt, 1]
-                full = (xk >= cmax_row(f)).astype(jnp.bfloat16)
+                full = (xk >= cmax_row(f)).astype(cmp_dt)
                 return xk, full, shift_one_hot(full)
 
             def digit_mm_f(f, oh):
-                return jax.lax.dot_general(
-                    oh, digs_ref[f], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [Rt, 4*Sp] exact digit values
+                return mm(oh, digs_ref[f])  # [Rt, 4*Sp] exact digit values
 
             def pc_of(st, m):
                 xk, full, _ = st
                 elem = combine(m, Sp)
-                pc = (xk >= elem).astype(jnp.bfloat16)  # [Rt, Sp]
+                pc = (xk >= elem).astype(cmp_dt)  # [Rt, Sp]
                 return jnp.concatenate([full, pc], axis=1)
 
             def reduce_f(fp):
                 # q = S*sum(full) + sum(pc) via one matmul
-                qv = jax.lax.dot_general(
-                    fp, qw_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [Rt, LANE]; col 0 = sum(full) = b, col 1 = sum(pc)
-                ranks.append(qv[:, :1] * jnp.float32(S) + qv[:, 1:2])
+                qv = mm(fp, qw_ref[:])
+                # [Rt, LANE]; col 0 = sum(full) = b, col 1 = sum(pc)
+                s = jnp.int32(S) if int8_mode else jnp.float32(S)
+                ranks.append(qv[:, :1] * s + qv[:, 1:2])
 
             if schedule == "phase":
                 sts = [one_feature(f) for f in range(F_loc)]
@@ -386,9 +421,12 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
                     reduce_f(pc_of(st, digit_mm_f(f, st[2])))
         q = jnp.concatenate(ranks, axis=1).astype(jnp.int32)  # [Rt, F_loc]
         if group_mode:
-            out_ref[:] = _assemble_group(q, nan_mask, row_tile)
+            planes = _assemble_group(q, nan_mask, row_tile)
         else:
-            out_ref[:] = _assemble_planes(q, nan_mask, F, row_tile)
+            planes = _assemble_planes(q, nan_mask, F, row_tile)
+        # int8 mode writes int8 planes DIRECTLY (in-kernel truncation proven
+        # on chip, r4) — skips the int32 HBM round trip + XLA cast pass
+        out_ref[:] = planes.astype(jnp.int8) if int8_mode else planes
 
     return kernel
 
@@ -412,6 +450,7 @@ def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, paired: bool, *,
     if F > RANK_MAX_COLS:
         raise ValueError(f"rank planes support <= {RANK_MAX_COLS} features")
     qw_rows = 3 * LANE if paired else LANE + Sp
+    int8_mode = digs.dtype == jnp.int8
 
     if G > 1:
         FC = RANK_GROUP_COLS
@@ -424,7 +463,7 @@ def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, paired: bool, *,
         Pg = P // G  # digit planes per group (15 paired / 30 plain)
         out32 = pl.pallas_call(
             _make_kernel_v2(F, S, Sp, row_tile, paired, group_mode=True,
-                            schedule=schedule),
+                            schedule=schedule, int8_mode=int8_mode),
             grid=(rows // row_tile, G),
             in_specs=[
                 pl.BlockSpec((row_tile, LANE), lambda r, g: (r, g),
@@ -438,14 +477,16 @@ def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, paired: bool, *,
             ],
             out_specs=pl.BlockSpec((row_tile, LANE), lambda r, g: (r, g),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((rows, LANE * G), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct(
+                (rows, LANE * G), jnp.int8 if int8_mode else jnp.int32),
             interpret=interpret,
             **compile_kwargs(interpret),
-        )(xg, cmax.reshape(G, FC, LANE), digs, _qw_weights(Sp, paired))
-        return out32.astype(jnp.int8)
+        )(xg, cmax.reshape(G, FC, LANE), digs, _qw_weights(Sp, paired, int8_mode))
+        return out32 if int8_mode else out32.astype(jnp.int8)
 
     out32 = pl.pallas_call(
-        _make_kernel_v2(F, S, Sp, row_tile, paired, schedule=schedule),
+        _make_kernel_v2(F, S, Sp, row_tile, paired, schedule=schedule,
+                        int8_mode=int8_mode),
         grid=(rows // row_tile,),
         in_specs=[
             pl.BlockSpec((row_tile, LANE), lambda r: (r, 0),
@@ -459,17 +500,19 @@ def rank_planes_kernel_v2(x_canon, cmax, digs, S: int, paired: bool, *,
         ],
         out_specs=pl.BlockSpec((row_tile, LANE * G), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, LANE * G), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (rows, LANE * G), jnp.int8 if int8_mode else jnp.int32),
         interpret=interpret,
         **compile_kwargs(interpret),
-    )(x_canon, cmax, digs, _qw_weights(Sp, paired))
-    return out32.astype(jnp.int8)
+    )(x_canon, cmax, digs, _qw_weights(Sp, paired, int8_mode))
+    return out32 if int8_mode else out32.astype(jnp.int8)
 
 
-def _qw_weights(Sp: int, paired: bool):
-    """bf16 reduction weights. Plain: [(128+Sp), 128], col 0 sums the 128
-    chunk lanes (b), col 1 the Sp element lanes. Paired: [384, 128] with
-    cols (b0, b1, part0, part1) for the (full0 | full1 | pc) concat."""
+def _qw_weights(Sp: int, paired: bool, int8_mode: bool = False):
+    """Reduction weights (bf16, or int8 in int8 mode — 0/1 values are exact
+    in both). Plain: [(128+Sp), 128], col 0 sums the 128 chunk lanes (b),
+    col 1 the Sp element lanes. Paired: [384, 128] with cols
+    (b0, b1, part0, part1) for the (full0 | full1 | pc) concat."""
     if paired:
         qw = np.zeros((3 * LANE, LANE), np.float32)
         qw[:LANE, 0] = 1.0
@@ -480,7 +523,7 @@ def _qw_weights(Sp: int, paired: bool):
         qw = np.zeros((LANE + Sp, LANE), np.float32)
         qw[:LANE, 0] = 1.0
         qw[LANE:, 1] = 1.0
-    return jnp.asarray(qw, jnp.bfloat16)
+    return jnp.asarray(qw, jnp.int8 if int8_mode else jnp.bfloat16)
 
 
 def pad_threshold_tables(tables, num_cols: int) -> np.ndarray:

@@ -191,6 +191,8 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
         rt, tt = feasibility.rank_default_tiles(forest)
         limits = TpuLimits()
         cands = RankFoldEngine.valid_split_levels(forest.depth, tt, G)
+        # (mirrors the engine's auto chooser, which keeps the DERATED budget
+        # for its fit test even at G=1 — see RankFoldEngine.__init__)
         ls = next(
             (l for l in cands if RankFoldEngine.vmem_bytes(
                 forest.depth, rt, tt, G, l
