@@ -221,9 +221,27 @@ def rank_default_tiles(forest: ForestSpec, limits: TpuLimits = TpuLimits()):
 
     g = rank_groups(rank_virtual_cols(forest))
     budget = limits.usable_vmem
-    prefs = [(1024, 128), (512, 128), (256, 128), (128, 128), (128, 64),
-             (128, 32), (128, 16), (128, 8), (64, 32), (64, 16), (64, 8),
-             (256, 16), (32, 8), (16, 8)]
+    # Depth >= 13 uses measured per-depth preferences (r4_deep{,2}.py, fresh
+    # same-session enumerations — VERDICT r3 #2: the big-rt-first list below
+    # generalizes badly there):
+    #   deep13: (128,8) whole-level ls0 1.15 us/sample vs the old pick's
+    #           2.17 (tt64 ls6); deep14: (256,4) auto-ls8 2.27 vs 2.83 at
+    #           (128,8); deep15: (256,1) ls9 2.37 vs 3.25 at (128,8).
+    # Small tree tiles keep the whole-level form (or a shallow-scratch split)
+    # within VMEM where depth doubles the per-tree node count.
+    if forest.depth >= 15:
+        prefs = [(256, 1), (128, 1), (256, 4), (128, 4), (64, 8), (32, 8),
+                 (16, 8)]
+    elif forest.depth == 14:
+        prefs = [(256, 4), (256, 8), (128, 8), (256, 1), (128, 1), (64, 8),
+                 (32, 8), (16, 8)]
+    elif forest.depth == 13:
+        prefs = [(128, 8), (256, 4), (128, 16), (64, 8), (256, 1), (32, 8),
+                 (16, 8)]
+    else:
+        prefs = [(1024, 128), (512, 128), (256, 128), (128, 128), (128, 64),
+                 (128, 32), (128, 16), (128, 8), (64, 32), (64, 16), (64, 8),
+                 (256, 16), (32, 8), (16, 8)]
     for rt, tt in prefs:
         tt2 = 1 << (min(tt, max(8, forest.num_trees)) - 1).bit_length()
         if RankFoldEngine.min_vmem_bytes(

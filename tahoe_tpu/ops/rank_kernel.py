@@ -208,7 +208,8 @@ def _make_kernel(cfg: RankFoldConfig):
     return kernel
 
 
-def _make_split_kernel(cfg: RankFoldConfig, stream_r_tiles: int = 0):
+def _make_split_kernel(cfg: RankFoldConfig, stream_r_tiles: int = 0,
+                       fuse=None):
     """Subtree-blocked deep variant (split_level > 0).
 
     Row-outer form (stream_r_tiles == 0): grid = (row tiles, tree tiles,
@@ -232,6 +233,17 @@ def _make_split_kernel(cfg: RankFoldConfig, stream_r_tiles: int = 0):
     ([SG * stream_r_tiles, Rt, 128], slot = s * stream_r_tiles + r); each
     (t, r) writes its own partial-margin slab (tree_outer-style), summed by
     XLA afterwards.
+
+    Fused-transform form (``fuse`` = dict(F, S, Sp, paired, schedule,
+    n_r_tiles); row-outer grid only, G == 1, int8 v2 transform): the planes
+    input is replaced by raw canonicalized rows + the bucket tables, and the
+    kernel rank-transforms ONE ROW TILE AHEAD into a ping-pong VMEM scratch
+    — step (r, 0, 0) computes row tile r+1's planes (no same-step consumer,
+    so Mosaic can overlap the transform's int8 matmuls with the step's
+    VPU-bound fold chain) while every (r, t, s) step reads row tile r's
+    planes from the other slot. Row tile 0's planes arrive precomputed
+    (``planes0``, one standalone-transform dispatch over a single tile).
+    Slot parity never collides: the writer targets (r+1) % 2, readers r % 2.
     """
     D = cfg.depth
     TR = cfg.tree_tile
@@ -240,15 +252,53 @@ def _make_split_kernel(cfg: RankFoldConfig, stream_r_tiles: int = 0):
     Ls = cfg.split_level
     Db = D - Ls
     SG = (TR << Ls) // LANE
+    if fuse is not None:
+        assert stream_r_tiles == 0 and cfg.groups == 1
 
-    def kernel(p_ref, *refs):
+    def kernel(*args):
+        if fuse is not None:
+            x_ref, planes0_ref, cmax_ref, digs_ref, qw_ref = args[:5]
+            refs = args[5:]
+        else:
+            p_ref, refs = args[0], args[1:]
         top_refs = refs[0:Ls]
         bot_refs = refs[Ls:D]  # bot_refs[b] = level Ls+b, this group's slab
         leaf_ref = refs[D]
         out_ref = refs[D + 1]
         roots_ref = refs[D + 2]  # VMEM scratch [SG(*r_tiles), Rt, 128]
 
-        planes = p_ref[:]  # [Rt, 128*G] int8
+        if fuse is not None:
+            from tahoe_tpu.ops.rank_transform import (
+                _assemble_planes,
+                rank_counts_from_x,
+            )
+
+            planes_sc = refs[D + 3]  # VMEM scratch [2, Rt, 128] int8
+            r_ = pl.program_id(0)
+            t_ = pl.program_id(1)
+            s_ = pl.program_id(2)
+
+            @pl.when((r_ == 0) & (t_ == 0) & (s_ == 0))
+            def _seed():
+                planes_sc[0] = planes0_ref[:]
+
+            @pl.when((t_ == 0) & (s_ == 0))
+            def _tf():
+                # x_ref's index map fetches row tile min(r+1, last); the
+                # last row tile's recompute lands in the unread parity slot
+                q, nan_mask = rank_counts_from_x(
+                    x_ref[:], F_loc=fuse["F"], S=fuse["S"], Sp=fuse["Sp"],
+                    paired=fuse["paired"], int8_mode=True,
+                    schedule=fuse["schedule"], row_tile=Rt,
+                    cmax_row=lambda f: cmax_ref[f : f + 1, :],
+                    digs_at=lambda i: digs_ref[i], qw=qw_ref[:],
+                )
+                nxt = _assemble_planes(q, nan_mask, fuse["F"], Rt)
+                planes_sc[(r_ + 1) % 2] = nxt.astype(jnp.int8)
+
+            planes = planes_sc[r_ % 2]  # [Rt, 128] int8
+        else:
+            planes = p_ref[:]  # [Rt, 128*G] int8
 
         def matcond(ref, c0, width):
             diff = jax.lax.dot_general(
@@ -403,38 +453,109 @@ def rank_fold_margins(cfg: RankFoldConfig, tables, planes_pad):
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     if Ls:
-        Db = cfg.depth - Ls
-        SG = (cfg.tree_tile << Ls) // LANE
-        grid = (rows // Rt, cfg.padded_trees // cfg.tree_tile, SG)
+        return _split_row_outer(cfg, tables, planes_pad)
+
+    return _nonsplit_margins(cfg, tables, planes_pad)
+
+
+def _split_row_outer(cfg: RankFoldConfig, tables, planes_pad, fused=None):
+    """Row-outer subtree-split grid = (row tiles, tree tiles, subtree
+    groups), groups innermost.
+
+    ``fused`` (built by rank_fold_margins_fused) swaps the planes input for
+    raw canonicalized rows + the v2 bucket tables: the kernel transforms one
+    row tile AHEAD into a ping-pong VMEM scratch (see _make_split_kernel's
+    fused-transform form) — full predict never materializes planes in HBM
+    and the transform's int8 matmuls get scheduled against the fold chain's
+    VPU work instead of running as a separate serial kernel."""
+    from tahoe_tpu.ops.mosaic import compile_kwargs
+
+    Rt = cfg.row_tile
+    G = cfg.groups
+    Ls = cfg.split_level
+    Db = cfg.depth - Ls
+    SG = (cfg.tree_tile << Ls) // LANE
+    rows = (fused["x"] if fused else planes_pad).shape[0]
+    n_r = rows // Rt
+    grid = (n_r, cfg.padded_trees // cfg.tree_tile, SG)
+
+    if fused is None:
         in_specs = [pl.BlockSpec((Rt, LANE * G), lambda r, t, s: (r, 0),
                                  memory_space=pltpu.VMEM)]
-        for d in range(Ls):
-            in_specs += [pl.BlockSpec((LANE * G, cfg.seg[d]),
-                                      lambda r, t, s: (0, t),
-                                      memory_space=pltpu.VMEM)]
-        for b in range(Db):
-            in_specs += [pl.BlockSpec((LANE * G, (1 << b) * LANE),
-                                      lambda r, t, s, _sg=SG: (0, t * _sg + s),
-                                      memory_space=pltpu.VMEM)]
-        in_specs += [pl.BlockSpec((1, (1 << Db) * LANE),
+        inputs = (planes_pad,)
+        extra_scratch = []
+        fuse_meta = None
+    else:
+        x, planes0, cmax, digs, qw = (
+            fused[k] for k in ("x", "planes0", "cmax", "digs", "qw"))
+        P, rows_dig, cols_dig = digs.shape
+        F = cmax.shape[0]
+        last = n_r - 1
+        in_specs = [
+            # row tile r+1 (clamped): the kernel transforms one tile ahead
+            pl.BlockSpec((Rt, LANE),
+                         lambda r, t, s, _l=last: (jnp.minimum(r + 1, _l), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, LANE), lambda r, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, LANE), lambda r, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, rows_dig, cols_dig), lambda r, t, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qw.shape[0], LANE), lambda r, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs = (x, planes0, cmax, digs, qw)
+        extra_scratch = [pltpu.VMEM((2, Rt, LANE), jnp.int8)]
+        fuse_meta = fused["meta"]
+
+    for d in range(Ls):
+        in_specs += [pl.BlockSpec((LANE * G, cfg.seg[d]),
+                                  lambda r, t, s: (0, t),
+                                  memory_space=pltpu.VMEM)]
+    for b in range(Db):
+        in_specs += [pl.BlockSpec((LANE * G, (1 << b) * LANE),
                                   lambda r, t, s, _sg=SG: (0, t * _sg + s),
                                   memory_space=pltpu.VMEM)]
-        out_spec = pl.BlockSpec((Rt, 1), lambda r, t, s: (r, 0),
-                                memory_space=pltpu.VMEM)
-        from tahoe_tpu.ops.mosaic import compile_kwargs
+    in_specs += [pl.BlockSpec((1, (1 << Db) * LANE),
+                              lambda r, t, s, _sg=SG: (0, t * _sg + s),
+                              memory_space=pltpu.VMEM)]
+    out_spec = pl.BlockSpec((Rt, 1), lambda r, t, s: (r, 0),
+                            memory_space=pltpu.VMEM)
 
-        margins = pl.pallas_call(
-            _make_kernel(cfg),
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((SG, Rt, LANE), jnp.float32)],
-            interpret=cfg.interpret,
-            **compile_kwargs(cfg.interpret),
-        )(planes_pad, *tables)
-        return margins[:, 0]
+    margins = pl.pallas_call(
+        _make_split_kernel(cfg, fuse=fuse_meta),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        scratch_shapes=([pltpu.VMEM((SG, Rt, LANE), jnp.float32)]
+                        + extra_scratch),
+        interpret=cfg.interpret,
+        **compile_kwargs(cfg.interpret),
+    )(*inputs, *tables)
+    return margins[:, 0]
 
+
+def rank_fold_margins_fused(cfg: RankFoldConfig, tables, x_pad, planes0,
+                            cmax, digs, qw, S: int, paired: bool,
+                            schedule: str = "phase"):
+    """Fused transform+traversal margins (row-outer split grid, G == 1,
+    int8 v2 transform): x_pad [R_pad, 128] f32 canonicalized rows,
+    planes0 the precomputed first row tile's planes."""
+    assert cfg.split_level and cfg.groups == 1
+    meta = dict(F=int(cmax.shape[0]), S=S, Sp=int(digs.shape[-1]) // 4,
+                paired=paired, schedule=schedule)
+    return _split_row_outer(
+        cfg, tables, None,
+        fused=dict(x=x_pad, planes0=planes0, cmax=cmax, digs=digs, qw=qw,
+                   meta=meta))
+
+
+def _nonsplit_margins(cfg: RankFoldConfig, tables, planes_pad):
+    rows = planes_pad.shape[0]
+    Rt = cfg.row_tile
+    G = cfg.groups
     from tahoe_tpu.ops.mosaic import compile_kwargs
 
     n_tiles = cfg.padded_trees // cfg.tree_tile
@@ -509,6 +630,7 @@ class RankFoldEngine:
                  stream_once: bool | None = None,
                  transform_schedule: str = "phase",
                  transform_row_tile: int | None = None,
+                 fuse_transform: bool | None = None,
                  limits: TpuLimits = TpuLimits()):
         self._raw_missing = forest.missing
         self._transform_schedule = transform_schedule
@@ -641,6 +763,37 @@ class RankFoldEngine:
                 self.stream_chunk_rows = int(max(1, max_tiles)) * row_tile
 
         self._build_tables(lev)
+
+        # fused transform+traversal (r4): the row-outer split kernel can
+        # rank-transform one row tile AHEAD into a ping-pong VMEM scratch
+        # (G == 1, int8 v2 transform only) so full predict never
+        # materializes planes in HBM. A/B-measured on chip at the headline
+        # config (FUSED_AB_r04.json: fused 0.1228 vs unfused 0.1200
+        # us/sample, bit-identical) — Mosaic serializes compute across grid
+        # steps, so the hoped-for MXU/VPU overlap does not materialize and
+        # the fusion is a wash. Default OFF; kept as an opt-in
+        # (fuse_transform=True) with CPU bit-parity tests for future Mosaic
+        # schedulers.
+        self._fuse = bool(
+            fuse_transform
+            and self._transform_v2
+            and self.groups == 1
+            and self.split_level > 0
+            and self.stream_chunk_rows == 0
+            and self.rank_tables[1].dtype == jnp.int8
+        )
+        if self._fuse:
+            digs_bytes = int(self.rank_tables[1].size)
+            extra = (digs_bytes                    # digit planes (int8)
+                     + 2 * row_tile * LANE         # ping-pong planes scratch
+                     + 2 * row_tile * LANE * 4     # x block (double-buffered)
+                     + row_tile * LANE             # planes0
+                     + self.rank_tables[0].size * 4 + 3 * LANE * LANE)
+            if not interpret and need + extra > budget:
+                raise ValueError(
+                    f"fused transform needs ~{(need + extra)/2**20:.1f} MiB "
+                    f"VMEM > budget {budget/2**20:.1f} MiB"
+                )
         self._predict = jax.jit(self._predict_impl)
         self._predict_k = jax.jit(self._chain_impl, static_argnames=("k",))
         self._predict_planes_k = jax.jit(self._chain_planes_impl,
@@ -922,8 +1075,31 @@ class RankFoldEngine:
 
     def _predict_impl(self, tables, rank_tables, data):
         rows = data.shape[0]
-        planes = self._transform(rank_tables, data)
-        margins = self._margins_planes(tables, planes)[:rows]
+        if self._fuse:
+            from tahoe_tpu.ops.rank_transform import (
+                _qw_weights,
+                rank_planes_kernel_v2,
+            )
+
+            cmax, digs = rank_tables
+            x = self._canonicalize(data)
+            # row tile 0's planes: one standalone-transform dispatch over a
+            # single tile seeds the fused kernel's ping-pong scratch
+            planes0 = rank_planes_kernel_v2(
+                x[: self.row_tile], cmax, digs, self._bucket_s,
+                self._bucket_paired, row_tile=self.row_tile,
+                interpret=self.interpret, schedule=self._transform_schedule,
+            )
+            qw = _qw_weights(int(digs.shape[-1]) // 4, self._bucket_paired,
+                             True)
+            margins = rank_fold_margins_fused(
+                self.cfg, tables, x, planes0, cmax, digs, qw,
+                self._bucket_s, self._bucket_paired,
+                schedule=self._transform_schedule,
+            )[:rows]
+        else:
+            planes = self._transform(rank_tables, data)
+            margins = self._margins_planes(tables, planes)[:rows]
         return apply_output_transform(
             margins, self.num_trees, self.output, self.global_bias,
             self.threshold, jnp,

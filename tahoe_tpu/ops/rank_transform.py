@@ -266,10 +266,163 @@ def _assemble_group(q, nan_mask, row_tile: int):
     )
 
 
+def rank_counts_from_x(x, *, F_loc: int, S: int, Sp: int, paired: bool,
+                       int8_mode: bool, schedule: str, row_tile: int,
+                       cmax_row, digs_at, qw):
+    """The v2 bucketed rank count, on VALUES (not refs) so both the
+    standalone transform kernel and the fused traversal kernel
+    (rank_kernel._make_split_kernel with fuse_transform) share ONE
+    implementation of the exact two-level count.
+
+    x [Rt, 128] f32 (NaN = missing) → (q [Rt, F_loc] int32 ranks,
+    nan_mask [Rt, F_loc] int32). ``cmax_row(f)`` → [1, 128] int32 chunk
+    maxima; ``digs_at(i)`` → digit-plane matrix for pair/feature i;
+    ``qw`` → the _qw_weights reduction matrix."""
+    INT_MAX_POS = 0x7FFFFFFF
+    xz = x + jnp.float32(0.0)  # -0.0 → +0.0
+    xb = jax.lax.bitcast_convert_type(xz, jnp.int32)
+    xkey = jnp.where(xb >= 0, xb, xb ^ jnp.int32(INT_MAX_POS))
+    # NaN keys are large-positive; masked out at the end like v1
+    nan_mask = (x[:, :F_loc] != x[:, :F_loc]).astype(jnp.int32)
+
+    # int8 mode: compares/one-hots live in int32 on the VPU (sub-32-bit
+    # VPU ops are off-limits on this target) and are truncated to int8
+    # ONLY at the matmul inputs, so every dot runs at the MXU's int8
+    # rate with exact int32 accumulation. bf16 mode is the proven
+    # fallback (digits in [-128,127] are exact either way).
+    cmp_dt = jnp.int32 if int8_mode else jnp.bfloat16
+    one_col = jnp.ones((row_tile, 1), cmp_dt)
+
+    def shift_one_hot(full):
+        # one_hot(b) = shift-in-1(full) - full (exactly one 1 at the
+        # first non-full chunk; b < 128 is guaranteed by padding)
+        return jnp.concatenate(
+            [one_col, full[:, : LANE - 1]], axis=1
+        ) - full
+
+    def mm(lhs, rhs_val):
+        if int8_mode:
+            return jax.lax.dot_general(
+                lhs.astype(jnp.int8), rhs_val,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        return jax.lax.dot_general(
+            lhs, rhs_val, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def combine(m, w):
+        if int8_mode:
+            # int32 digit sums: key = (d0 + d1<<8) + ((d2 + d3<<8) << 16)
+            # — exact in wrapping int32 (_signed_digits verifies the
+            # reconstruction); matches Mosaic's int32 shift support
+            p01 = m[:, :w] + (m[:, w : 2 * w] << 8)
+            p23 = m[:, 2 * w : 3 * w] + (m[:, 3 * w :] << 8)
+            return p01 + (p23 << 16)
+        # digit slots → int32 keys: pairwise f32 combine is exact
+        # (|d0 + 256*d1| < 2^17 < 2^24), then one int32 shift-add
+        p01 = m[:, :w] + m[:, w : 2 * w] * jnp.float32(256.0)
+        p23 = m[:, 2 * w : 3 * w] + m[:, 3 * w :] * jnp.float32(256.0)
+        return p01.astype(jnp.int32) + (p23.astype(jnp.int32) << 16)
+
+    # The per-pair chain (compare -> one-hot -> digit matmul -> combine ->
+    # compare -> reduce matmul) is ~6 dependent ops; issued pair-by-pair
+    # ("chain") the small matmuls serialize on their consumers and the
+    # kernel runs latency-bound ~17x off the MXU roofline (measured,
+    # scripts/unit_bench.py r2). "phase" reorders the SAME computation so
+    # all pairs' digit matmuls issue back-to-back (no consumer between
+    # them), then all combines, then all reduce matmuls — letting the MXU
+    # pipeline independent ops while the VPU drains the previous phase.
+    ranks = []
+    if paired:
+        pairs = list(range(0, F_loc, 2))
+
+        def stage1(p):
+            f0, f1 = p, min(p + 1, F_loc - 1)
+            xk0 = xkey[:, f0 : f0 + 1]
+            xk1 = xkey[:, f1 : f1 + 1]
+            full0 = (xk0 >= cmax_row(f0)).astype(cmp_dt)
+            full1 = (xk1 >= cmax_row(f1)).astype(cmp_dt)
+            oh2 = jnp.concatenate(
+                [shift_one_hot(full0), shift_one_hot(full1)], axis=1
+            )  # [Rt, 256]
+            return xk0, xk1, full0, full1, oh2
+
+        def digit_mm(p, oh2):
+            return mm(oh2, digs_at(p // 2))
+            # [Rt, 4*128]: both features' digit slots
+
+        def stage2(st, m):
+            xk0, xk1, full0, full1, _ = st
+            elem = combine(m, LANE)  # [Rt, 128]
+            xk2 = jnp.concatenate(
+                [jnp.broadcast_to(xk0, (row_tile, LANE // 2)),
+                 jnp.broadcast_to(xk1, (row_tile, LANE // 2))], axis=1
+            )
+            pc = (xk2 >= elem).astype(cmp_dt)  # [Rt, 128]
+            return jnp.concatenate([full0, full1, pc], axis=1)
+
+        def reduce_mm(fp):
+            return mm(fp, qw)
+            # cols: b0, b1, part0, part1
+
+        def emit(p, qv):
+            s = jnp.int32(S) if int8_mode else jnp.float32(S)
+            ranks.append(qv[:, 0:1] * s + qv[:, 2:3])
+            if min(p + 1, F_loc - 1) > p:
+                ranks.append(qv[:, 1:2] * s + qv[:, 3:4])
+
+        if schedule == "phase":
+            sts = [stage1(p) for p in pairs]
+            ms = [digit_mm(p, st[4]) for p, st in zip(pairs, sts)]
+            fps = [stage2(st, m) for st, m in zip(sts, ms)]
+            qvs = [reduce_mm(fp) for fp in fps]
+            for p, qv in zip(pairs, qvs):
+                emit(p, qv)
+        else:
+            for p in pairs:
+                st = stage1(p)
+                emit(p, reduce_mm(stage2(st, digit_mm(p, st[4]))))
+    else:
+        def one_feature(f):
+            xk = xkey[:, f : f + 1]  # [Rt, 1]
+            full = (xk >= cmax_row(f)).astype(cmp_dt)
+            return xk, full, shift_one_hot(full)
+
+        def digit_mm_f(f, oh):
+            return mm(oh, digs_at(f))  # [Rt, 4*Sp] exact digit values
+
+        def pc_of(st, m):
+            xk, full, _ = st
+            elem = combine(m, Sp)
+            pc = (xk >= elem).astype(cmp_dt)  # [Rt, Sp]
+            return jnp.concatenate([full, pc], axis=1)
+
+        def reduce_f(fp):
+            # q = S*sum(full) + sum(pc) via one matmul
+            qv = mm(fp, qw)
+            # [Rt, LANE]; col 0 = sum(full) = b, col 1 = sum(pc)
+            s = jnp.int32(S) if int8_mode else jnp.float32(S)
+            ranks.append(qv[:, :1] * s + qv[:, 1:2])
+
+        if schedule == "phase":
+            sts = [one_feature(f) for f in range(F_loc)]
+            ms = [digit_mm_f(f, st[2]) for f, st in enumerate(sts)]
+            fps = [pc_of(st, m) for st, m in zip(sts, ms)]
+            for fp in fps:
+                reduce_f(fp)
+        else:
+            for f in range(F_loc):
+                st = one_feature(f)
+                reduce_f(pc_of(st, digit_mm_f(f, st[2])))
+    q = jnp.concatenate(ranks, axis=1).astype(jnp.int32)  # [Rt, F_loc]
+    return q, nan_mask
+
+
 def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
                     group_mode: bool = False, schedule: str = "chain",
                     int8_mode: bool = False):
-    INT_MAX_POS = 0x7FFFFFFF
     # group mode: each grid step handles ONE 30-feature plane group whose
     # features sit in lanes [0, 30) of its x slot; tables stream per group
     F_loc = RANK_GROUP_COLS if group_mode else F
@@ -281,145 +434,11 @@ def _make_kernel_v2(F: int, S: int, Sp: int, row_tile: int, paired: bool,
             return (cmax_ref[0, f : f + 1, :] if group_mode
                     else cmax_ref[f : f + 1, :])
 
-        x = x_ref[:]  # [Rt, 128] f32, missing canonicalized to NaN
-        xz = x + jnp.float32(0.0)  # -0.0 → +0.0
-        xb = jax.lax.bitcast_convert_type(xz, jnp.int32)
-        xkey = jnp.where(xb >= 0, xb, xb ^ jnp.int32(INT_MAX_POS))
-        # NaN keys are large-positive; masked out at the end like v1
-        nan_mask = (x[:, :F_loc] != x[:, :F_loc]).astype(jnp.int32)
-
-        # int8 mode: compares/one-hots live in int32 on the VPU (sub-32-bit
-        # VPU ops are off-limits on this target) and are truncated to int8
-        # ONLY at the matmul inputs, so every dot runs at the MXU's int8
-        # rate with exact int32 accumulation. bf16 mode is the proven
-        # fallback (digits in [-128,127] are exact either way).
-        cmp_dt = jnp.int32 if int8_mode else jnp.bfloat16
-        one_col = jnp.ones((row_tile, 1), cmp_dt)
-
-        def shift_one_hot(full):
-            # one_hot(b) = shift-in-1(full) - full (exactly one 1 at the
-            # first non-full chunk; b < 128 is guaranteed by padding)
-            return jnp.concatenate(
-                [one_col, full[:, : LANE - 1]], axis=1
-            ) - full
-
-        def mm(lhs, rhs_ref_val):
-            if int8_mode:
-                return jax.lax.dot_general(
-                    lhs.astype(jnp.int8), rhs_ref_val,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-            return jax.lax.dot_general(
-                lhs, rhs_ref_val, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        def combine(m, w):
-            if int8_mode:
-                # int32 digit sums: key = (d0 + d1<<8) + ((d2 + d3<<8) << 16)
-                # — exact in wrapping int32 (_signed_digits verifies the
-                # reconstruction); matches Mosaic's int32 shift support
-                p01 = m[:, :w] + (m[:, w : 2 * w] << 8)
-                p23 = m[:, 2 * w : 3 * w] + (m[:, 3 * w :] << 8)
-                return p01 + (p23 << 16)
-            # digit slots → int32 keys: pairwise f32 combine is exact
-            # (|d0 + 256*d1| < 2^17 < 2^24), then one int32 shift-add
-            p01 = m[:, :w] + m[:, w : 2 * w] * jnp.float32(256.0)
-            p23 = m[:, 2 * w : 3 * w] + m[:, 3 * w :] * jnp.float32(256.0)
-            return p01.astype(jnp.int32) + (p23.astype(jnp.int32) << 16)
-
-        # The per-pair chain (compare -> one-hot -> digit matmul -> combine ->
-        # compare -> reduce matmul) is ~6 dependent ops; issued pair-by-pair
-        # ("chain") the small matmuls serialize on their consumers and the
-        # kernel runs latency-bound ~17x off the MXU roofline (measured,
-        # scripts/unit_bench.py r2). "phase" reorders the SAME computation so
-        # all pairs' digit matmuls issue back-to-back (no consumer between
-        # them), then all combines, then all reduce matmuls — letting the MXU
-        # pipeline independent ops while the VPU drains the previous phase.
-        ranks = []
-        if paired:
-            pairs = list(range(0, F_loc, 2))
-
-            def stage1(p):
-                f0, f1 = p, min(p + 1, F_loc - 1)
-                xk0 = xkey[:, f0 : f0 + 1]
-                xk1 = xkey[:, f1 : f1 + 1]
-                full0 = (xk0 >= cmax_row(f0)).astype(cmp_dt)
-                full1 = (xk1 >= cmax_row(f1)).astype(cmp_dt)
-                oh2 = jnp.concatenate(
-                    [shift_one_hot(full0), shift_one_hot(full1)], axis=1
-                )  # [Rt, 256]
-                return xk0, xk1, full0, full1, oh2
-
-            def digit_mm(p, oh2):
-                return mm(oh2, digs_ref[p // 2])
-                # [Rt, 4*128]: both features' digit slots
-
-            def stage2(st, m):
-                xk0, xk1, full0, full1, _ = st
-                elem = combine(m, LANE)  # [Rt, 128]
-                xk2 = jnp.concatenate(
-                    [jnp.broadcast_to(xk0, (row_tile, LANE // 2)),
-                     jnp.broadcast_to(xk1, (row_tile, LANE // 2))], axis=1
-                )
-                pc = (xk2 >= elem).astype(cmp_dt)  # [Rt, 128]
-                return jnp.concatenate([full0, full1, pc], axis=1)
-
-            def reduce_mm(fp):
-                return mm(fp, qw_ref[:])
-                # cols: b0, b1, part0, part1
-
-            def emit(p, qv):
-                s = jnp.int32(S) if int8_mode else jnp.float32(S)
-                ranks.append(qv[:, 0:1] * s + qv[:, 2:3])
-                if min(p + 1, F_loc - 1) > p:
-                    ranks.append(qv[:, 1:2] * s + qv[:, 3:4])
-
-            if schedule == "phase":
-                sts = [stage1(p) for p in pairs]
-                ms = [digit_mm(p, st[4]) for p, st in zip(pairs, sts)]
-                fps = [stage2(st, m) for st, m in zip(sts, ms)]
-                qvs = [reduce_mm(fp) for fp in fps]
-                for p, qv in zip(pairs, qvs):
-                    emit(p, qv)
-            else:
-                for p in pairs:
-                    st = stage1(p)
-                    emit(p, reduce_mm(stage2(st, digit_mm(p, st[4]))))
-        else:
-            def one_feature(f):
-                xk = xkey[:, f : f + 1]  # [Rt, 1]
-                full = (xk >= cmax_row(f)).astype(cmp_dt)
-                return xk, full, shift_one_hot(full)
-
-            def digit_mm_f(f, oh):
-                return mm(oh, digs_ref[f])  # [Rt, 4*Sp] exact digit values
-
-            def pc_of(st, m):
-                xk, full, _ = st
-                elem = combine(m, Sp)
-                pc = (xk >= elem).astype(cmp_dt)  # [Rt, Sp]
-                return jnp.concatenate([full, pc], axis=1)
-
-            def reduce_f(fp):
-                # q = S*sum(full) + sum(pc) via one matmul
-                qv = mm(fp, qw_ref[:])
-                # [Rt, LANE]; col 0 = sum(full) = b, col 1 = sum(pc)
-                s = jnp.int32(S) if int8_mode else jnp.float32(S)
-                ranks.append(qv[:, :1] * s + qv[:, 1:2])
-
-            if schedule == "phase":
-                sts = [one_feature(f) for f in range(F_loc)]
-                ms = [digit_mm_f(f, st[2]) for f, st in enumerate(sts)]
-                fps = [pc_of(st, m) for st, m in zip(sts, ms)]
-                for fp in fps:
-                    reduce_f(fp)
-            else:
-                for f in range(F_loc):
-                    st = one_feature(f)
-                    reduce_f(pc_of(st, digit_mm_f(f, st[2])))
-        q = jnp.concatenate(ranks, axis=1).astype(jnp.int32)  # [Rt, F_loc]
+        q, nan_mask = rank_counts_from_x(
+            x_ref[:], F_loc=F_loc, S=S, Sp=Sp, paired=paired,
+            int8_mode=int8_mode, schedule=schedule, row_tile=row_tile,
+            cmax_row=cmax_row, digs_at=lambda i: digs_ref[i], qw=qw_ref[:],
+        )
         if group_mode:
             planes = _assemble_group(q, nan_mask, row_tile)
         else:

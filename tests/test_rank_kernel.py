@@ -256,3 +256,39 @@ def test_compile_wall_guard():
     if rank_groups(rank_virtual_cols(deep)) >= 3:
         with pytest.raises(NotImplementedError, match="compile"):
             _engine(deep, row_tile=8, tree_tile=1, split_level=7)
+
+
+def test_fused_transform_matches_unfused():
+    """r4 fused transform+traversal (row-outer split grid, int8 v2
+    transform computed one row tile ahead into ping-pong scratch) must be
+    BIT-identical to the two-kernel form and match the oracle — same math,
+    different scheduling (rank_kernel._make_split_kernel fused form)."""
+    forest = synthetic.generate_forest(64, 6, 12, seed=91)
+    data = synthetic.generate_data(700, 12, missing_prob=0.1, seed=92)
+    fused = _engine(forest, row_tile=128, tree_tile=8, split_level=4,
+                    stream_once=False, fuse_transform=True)
+    assert fused._fuse, "config should be fusion-eligible"
+    unfused = _engine(forest, row_tile=128, tree_tile=8, split_level=4,
+                      stream_once=False)
+    assert not unfused._fuse
+    got_f = np.asarray(fused.predict(data))
+    got_u = np.asarray(unfused.predict(data))
+    np.testing.assert_array_equal(got_f, got_u)
+    np.testing.assert_allclose(got_f, oracle.predict(forest, data),
+                               atol=1e-5)
+
+
+def test_fused_single_row_tile():
+    """One-row-tile batches hit the fused prologue's clamped x index
+    (r + 1 == n_r) — planes0 must carry the whole batch."""
+    forest = synthetic.generate_forest(150, 6, 10, seed=93)
+    data = synthetic.generate_data(96, 10, missing_prob=0.05, seed=94)
+    eng = _engine(forest, row_tile=128, tree_tile=8, split_level=4,
+                  stream_once=False, fuse_transform=True)
+    if not eng._fuse:
+        import pytest
+
+        pytest.skip("shape not fusion-eligible (v1 transform)")
+    np.testing.assert_allclose(
+        np.asarray(eng.predict(data)), oracle.predict(forest, data),
+        atol=1e-5)
