@@ -108,6 +108,18 @@ def _branches():
         lambda: (lambda f: (rank(f, row_tile=128, tree_tile=8,
                                  split_level=5), f, data_for(f)))(
             synthetic.generate_forest(100, 12, 30, seed=6)))
+    # r4: the shipping headline config (single row tile at ROWS=2048) and
+    # the opt-in fused transform+traversal form (FUSED_AB_r04.json)
+    add("rank_rt2048_headline",
+        lambda: (lambda f: (rank(f, row_tile=2048, tree_tile=128,
+                                 split_level=4, col_chunk=2048,
+                                 transform_row_tile=2048), f,
+                            data_for(f)))(susy()))
+    add("rank_fused_transform",
+        lambda: (lambda f: (rank(f, row_tile=256, tree_tile=128,
+                                 split_level=4, stream_once=False,
+                                 fuse_transform=True), f,
+                            data_for(f)))(susy()))
 
     add("fold_ge_whole",
         lambda: (lambda f: (fold(f, row_tile=128, tree_tile=128), f,
@@ -246,7 +258,8 @@ BRANCH_NAMES = [
     "rank_ls0_whole_level", "rank_ls4_stream_chunk", "rank_banded",
     "rank_g2_40feat", "rank_g3_70feat", "rank_transform_decoupled_rt",
     "rank_v2_bucketed_transform", "rank_cond_lead", "rank_chunk_lead",
-    "rank_deep12_split", "fold_ge_whole", "fold_deep12_split",
+    "rank_deep12_split", "rank_rt2048_headline", "rank_fused_transform",
+    "fold_ge_whole", "fold_deep12_split",
     "fold_sign_v1_100feat", "fold_sign_v3_300feat", "depth_bucketed_auto",
     "depth_bucketed_fold", "sharded_fold_1dev", "sharded_rank_1dev",
     "sharded_sparse_1dev",

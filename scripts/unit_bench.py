@@ -252,7 +252,7 @@ def main() -> int:
     # the bench.py headline engine; achieved int8 TMAC/s = the exact MAC
     # count its matmuls perform (every column of every level matrix, incl.
     # 128-lane padding, once per row) over the measured plane-resident time
-    ship = RankFoldEngine(forest, row_tile=1024, tree_tile=128,
+    ship = RankFoldEngine(forest, row_tile=2048, tree_tile=128,
                           split_level=4, col_chunk=2048,
                           transform_row_tile=2048, interpret=interpret,
                           limits=TpuLimits())
