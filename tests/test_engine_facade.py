@@ -114,3 +114,27 @@ def test_rank_defaults_prefer_big_row_tiles():
     assert (rt, tt) == (1024, 128)
     eng = RankFoldEngine(spec, row_tile=rt, tree_tile=tt, interpret=True)
     assert eng.split_level in (3, 4)
+
+
+def test_rank_defaults_per_depth_deep():
+    """Depth >= 13 uses the measured per-depth preference lists (r4_deep{,2}
+    sweeps, VERDICT r3 #2): deep13 -> (128, 8) whole-level ls0 (1.15
+    us/sample vs 2.17 at the old big-rt-first pick), deep14 -> (256, 4)
+    auto-ls8, deep15 -> (256, 1) whole-level ls0 (the r7 sweep's auto pick, 2.235
+    us/sample — faster than the explicit ls9's 2.373). The auto split-level
+    chooser must land on the measured split level for each."""
+    from tahoe_tpu.engine.feasibility import rank_default_tiles
+    from tahoe_tpu.forest import synthetic
+    from tahoe_tpu.ops.rank_kernel import RankFoldEngine
+
+    cases = {
+        13: ((80, 13, 24), (128, 8), 0),
+        14: ((60, 14, 20), (256, 4), 8),
+        15: ((30, 15, 16), (256, 1), 0),
+    }
+    for depth, ((T, D, C), want_tiles, want_ls) in cases.items():
+        spec = synthetic.generate_forest(T, D, C, seed=1)
+        rt, tt = rank_default_tiles(spec)
+        assert (rt, tt) == want_tiles, (depth, rt, tt)
+        eng = RankFoldEngine(spec, row_tile=rt, tree_tile=tt, interpret=True)
+        assert eng.split_level == want_ls, (depth, eng.split_level)
