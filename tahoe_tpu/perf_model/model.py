@@ -261,6 +261,20 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
     passes = max(1.0, rows / row_tile)
     memory = passes * _table_bytes(forest) / (cal.hbm_gbps * 1e9)
     if strategy == Strategy.VMEM_FOREST:
+        # Whole-forest residency degrades the fold once the single tile's
+        # resident tables crowd VMEM: the r7 sweep's VMEM-vs-SPLIT pairs
+        # split cleanly on per-cell resident bytes — SPLIT measured 8-10%
+        # faster wherever the whole-forest tile holds >= ~390 KB of tables
+        # (phishing/cifar/letter 391 KB, mnist ~390 KB at 4 sign-form
+        # vregs, susy 1.57 MB) and VMEM faster below ~200 KB (svhn/ijcnn/
+        # year/stumps/gisette). Charged as a measured ~12% compute penalty
+        # past a 250 KB boundary (sweep_results_r7.jsonl).
+        tt_full = 1 << (max(8, forest.num_trees) - 1).bit_length()
+        _, _, vregs, _ = feasibility.fold_cols(forest)
+        per_tree = ((1 << forest.depth) - 1) * 8 * max(1, vregs) \
+            + (1 << forest.depth) * 4
+        if tt_full * per_tree > 250 * 1024:
+            compute *= 1.12
         return CostBreakdown(compute, memory, dispatch)
     # SPLIT_FOREST: same traversal; extra output-accumulation traffic per
     # tree tile beyond the first
