@@ -22,10 +22,16 @@ executable; the slope method cancels per-call re-ship overhead for the rest).
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# remote Mosaic compiles run 30-90 s each; default the persistent XLA cache
+# (same path every session) so driver runs reuse this session's binaries
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/tahoe_tpu_xla"))
 
 REFERENCE_BEST_US = 0.120020  # Tahoe strategy 3 on SUSY, README.md:66-67
 REFERENCE_FIL_US = 0.990169   # Tahoe's FIL-style dense baseline, README.md:58
