@@ -225,16 +225,17 @@ def rank_default_tiles(forest: ForestSpec, limits: TpuLimits = TpuLimits()):
     # same-session enumerations — VERDICT r3 #2: the big-rt-first list below
     # generalizes badly there):
     #   deep13: (128,8) whole-level ls0 1.15 us/sample vs the old pick's
-    #           2.17 (tt64 ls6); deep14: (256,4) auto-ls8 2.27 vs 2.83 at
-    #           (128,8); deep15: (256,1) ls9 2.37 vs 3.25 at (128,8).
-    # Small tree tiles keep the whole-level form (or a shallow-scratch split)
+    #           2.17 (tt64 ls6); deep14: (512,4) ls8 2.18 (derate_probe —
+    #           the Db<=6 budget unlock) vs 2.27 at (256,4); deep15:
+    #           (1024,1) ls9 2.13 vs 2.23 at (256,1) ls0.
+    # Small tree tiles keep the whole-level form (or a shallow-bottom split)
     # within VMEM where depth doubles the per-tree node count.
     if forest.depth >= 15:
-        prefs = [(256, 1), (128, 1), (256, 4), (128, 4), (64, 8), (32, 8),
-                 (16, 8)]
-    elif forest.depth == 14:
-        prefs = [(256, 4), (256, 8), (128, 8), (256, 1), (128, 1), (64, 8),
+        prefs = [(1024, 1), (512, 1), (256, 1), (128, 1), (256, 4), (64, 8),
                  (32, 8), (16, 8)]
+    elif forest.depth == 14:
+        prefs = [(512, 4), (512, 8), (256, 4), (256, 8), (128, 8), (256, 1),
+                 (128, 1), (64, 8), (32, 8), (16, 8)]
     elif forest.depth == 13:
         prefs = [(128, 8), (256, 4), (128, 16), (64, 8), (256, 1), (32, 8),
                  (16, 8)]

@@ -708,21 +708,30 @@ class RankFoldEngine:
             # smallest split level whose peak VMEM fits (0 = whole-level
             # fold); deepest split as last resort. Compile-walled levels
             # (measured >13-min Mosaic compiles) are never auto-chosen.
-            # The fit test deliberately stays on the DERATED budget even at
-            # G=1 (where explicit configs get the full budget below): the
-            # halved budget doubles as a performance prior — it lands on
-            # ls4 for SUSY-class shapes, the measured best (ls3/ls5 were
-            # 5-10% slower, scripts/r4_headline{,3}.py), where the full
-            # budget would pick the unmeasured ls2 with its 4x w_live.
+            # At G=1 the fit test deliberately stays on the DERATED budget
+            # (explicit configs get the full budget below): the halved
+            # budget doubles as a performance prior — it lands on ls4 for
+            # SUSY-class shapes, the measured best (ls3/ls5 were 5-10%
+            # slower, scripts/r4_headline{,3}.py), where the full budget
+            # would pick the unmeasured ls2 with its 4x w_live. At G>=2
+            # the derate was a correctness guard, now conditioned on the
+            # unrolled-bottom depth (split_budget): deep14's measured-best
+            # ls8 (Db=6) fits only under the full budget
+            # (scripts/derate_probe.py r4).
+            def fit_budget(ls):
+                if self.groups == 1:
+                    return self.split_budget(ls, limits)
+                return self.split_budget(ls, limits, self.groups, lev.depth)
+
             candidates = self.valid_split_levels(lev.depth, self.tree_tile,
                                                  self.groups)
             split_level = next(
                 (ls for ls in candidates if self.vmem_bytes(
                     lev.depth, row_tile, self.tree_tile, self.groups, ls
-                ) <= self.split_budget(ls, limits)),
+                ) <= fit_budget(ls)),
                 min(candidates, key=lambda ls: self.vmem_bytes(
                     lev.depth, row_tile, self.tree_tile, self.groups, ls
-                ) / self.split_budget(ls, limits)),
+                ) / fit_budget(ls)),
             )
         elif split_level > 0 and split_level not in self.valid_split_levels(
             lev.depth, self.tree_tile
@@ -745,7 +754,8 @@ class RankFoldEngine:
 
         need = self.vmem_bytes(lev.depth, row_tile, self.tree_tile,
                                self.groups, split_level)
-        budget = self.split_budget(split_level, limits, self.groups)
+        budget = self.split_budget(split_level, limits, self.groups,
+                                   lev.depth)
         if not interpret and need > budget:
             raise ValueError(
                 f"tile needs ~{need/2**20:.1f} MiB VMEM > budget "
@@ -821,17 +831,22 @@ class RankFoldEngine:
 
     @staticmethod
     def split_budget(split_level: int, limits: TpuLimits,
-                     groups: int = 2) -> int:
+                     groups: int = 2, depth: int | None = None) -> int:
         """Budget the vmem estimate is compared against. Whole-level (0)
         estimates are validated against real Mosaic compiles up to 40.5 MiB
-        actual; the subtree-split estimates run up to ~2.4x under actual at
-        MULTI-group shapes (deep-14 G=3: est 39.9, actual 97.3 scoped OOM),
-        so split configs at groups >= 2 get half the budget. Single-group
-        split estimates track real compiles (SUSY rt2048/tt128/ls4 G=1:
-        est 36.4 MiB, compiled + ran on chip, scripts/r4_headline3.py r4)
-        and get the full budget; ``groups`` defaults to the derated side so
-        legacy callers stay conservative."""
+        actual. Multi-group SPLIT estimates ran ~2.4x under actual on the
+        r1 failure (est 39.9, actual 97.3 scoped OOM) — but every probed
+        config with a SHALLOW unrolled bottom (Db = depth - Ls <= 6)
+        tracks its estimate on the real chip: G=1 rt2048/ls4 est 36.4
+        (r4_headline3) and G=3 Db=6 est 24.8-45.4 MiB, four-for-four
+        compile+parity (scripts/derate_probe.py r4). The r1 OOM shape was
+        a deeper bottom, where Mosaic's scheduler holds more of the 2^Db
+        unrolled fold live than the w_live term models. Split configs
+        therefore get the full budget when groups <= 1 or Db <= 6, half
+        otherwise; callers that omit ``depth`` stay conservative."""
         if split_level == 0 or groups <= 1:
+            return limits.usable_vmem
+        if depth is not None and depth - split_level <= 6:
             return limits.usable_vmem
         return limits.usable_vmem // 2
 
@@ -874,11 +889,11 @@ class RankFoldEngine:
                        groups: int = 1) -> int:
         """Min budget-equivalent VMEM over allowed split levels (for
         feasibility; compare against limits.usable_vmem). Multi-group
-        split-level estimates are doubled to mirror split_budget's
+        DEEP-bottom split estimates are doubled to mirror split_budget's
         derating; compile-walled levels are excluded."""
         return min(
             cls.vmem_bytes(depth, row_tile, tree_tile, groups, ls)
-            * (1 if (ls == 0 or groups <= 1) else 2)
+            * (1 if (ls == 0 or groups <= 1 or depth - ls <= 6) else 2)
             for ls in cls.valid_split_levels(depth, tree_tile, groups)
         )
 

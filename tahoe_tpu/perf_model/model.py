@@ -191,15 +191,21 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
         rt, tt = feasibility.rank_default_tiles(forest)
         limits = TpuLimits()
         cands = RankFoldEngine.valid_split_levels(forest.depth, tt, G)
-        # (mirrors the engine's auto chooser, which keeps the DERATED budget
-        # for its fit test even at G=1 — see RankFoldEngine.__init__)
+        # (mirrors the engine's auto chooser: derated fit budget at G=1 —
+        # a measured performance prior — and the Db-conditioned budget at
+        # G>=2; see RankFoldEngine.__init__/split_budget)
+        def _fit_budget(l):
+            if G == 1:
+                return RankFoldEngine.split_budget(l, limits)
+            return RankFoldEngine.split_budget(l, limits, G, forest.depth)
+
         ls = next(
             (l for l in cands if RankFoldEngine.vmem_bytes(
                 forest.depth, rt, tt, G, l
-            ) <= RankFoldEngine.split_budget(l, limits)),
+            ) <= _fit_budget(l)),
             min(cands, key=lambda l: RankFoldEngine.vmem_bytes(
                 forest.depth, rt, tt, G, l
-            ) / RankFoldEngine.split_budget(l, limits)),
+            ) / _fit_budget(l)),
         )
         # int8 matrices cover INTERNAL nodes only (2^D - 1 per tree)
         mat_bytes = forest.num_trees * ((1 << forest.depth) - 1) * 128 * G

@@ -129,8 +129,8 @@ def test_rank_defaults_per_depth_deep():
 
     cases = {
         13: ((80, 13, 24), (128, 8), 0),
-        14: ((60, 14, 20), (256, 4), 8),
-        15: ((30, 15, 16), (256, 1), 0),
+        14: ((60, 14, 20), (512, 4), 8),
+        15: ((30, 15, 16), (1024, 1), 9),
     }
     for depth, ((T, D, C), want_tiles, want_ls) in cases.items():
         spec = synthetic.generate_forest(T, D, C, seed=1)
