@@ -31,6 +31,23 @@ def fold_cols(forest: ForestSpec) -> Tuple[int, bool, int, bool]:
     return cols, ge_ok, vregs, sign
 
 
+def resident_table_bytes(forest: ForestSpec) -> int:
+    """Bytes of node tables a VMEM_FOREST grid cell holds resident.
+
+    The single source of truth for the perf model's VMEM-residency penalty
+    (ADVICE r4 #3): derived from the SAME sizing the fold engine uses — the
+    engine's pow2 whole-forest tree tile (default_tiles' VMEM_FOREST branch)
+    and fold_cols' vreg count, with FoldKernelEngine's ge-form per-node
+    layout (thresh f32 + fid i32 per vreg) plus the f32 leaf table. The
+    250 KB / x1.12 constants in perf_model.model were calibrated against
+    exactly this formula on the r7 sweep's VMEM-vs-SPLIT pairs."""
+    tt_full = 1 << (max(8, forest.num_trees) - 1).bit_length()
+    _, _, vregs, _ = fold_cols(forest)
+    per_tree = ((1 << forest.depth) - 1) * 8 * max(1, vregs) \
+        + (1 << forest.depth) * 4
+    return tt_full * per_tree
+
+
 def default_tiles(strategy: Strategy, forest: ForestSpec,
                   limits: TpuLimits = TpuLimits()) -> Tuple[int, int]:
     """(row_tile, tree_tile) defaults per strategy.

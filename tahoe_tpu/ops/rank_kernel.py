@@ -40,6 +40,23 @@ from tahoe_tpu.ops.fold_kernel import LANE, _cdiv, _round_up
 from tahoe_tpu.ops.transform import apply_output_transform
 
 
+def _x_lanes(num_cols: int) -> int:
+    """Canonicalized-row lane count for ``num_cols`` virtual features.
+
+    <= 128 features keep the historical single-vreg [R, 128] layout (the v1
+    flat transform and the fused transform+traversal path require it).
+    Wider forests (r5: the >120-vcol rank extension) pad to whole vregs with
+    room for every 30-feature plane group's slice — the group-streamed v2
+    transform slices x[:, 30g : 30(g+1)] per group, and the last group's
+    slice can reach past the feature count (ceil(F/30)*30 > F)."""
+    if num_cols <= LANE:
+        return LANE
+    from tahoe_tpu.forest.compiler import RANK_GROUP_COLS, rank_groups
+
+    return _round_up(max(num_cols, rank_groups(num_cols) * RANK_GROUP_COLS),
+                     LANE)
+
+
 class RankFoldConfig(NamedTuple):
     depth: int
     row_tile: int
@@ -841,10 +858,13 @@ class RankFoldEngine:
         (r4_headline3) and G=3 Db=6 est 24.8-45.4 MiB, four-for-four
         compile+parity (scripts/derate_probe.py r4). The r1 OOM shape was
         a deeper bottom, where Mosaic's scheduler holds more of the 2^Db
-        unrolled fold live than the w_live term models. Split configs
-        therefore get the full budget when groups <= 1 or Db <= 6, half
-        otherwise; callers that omit ``depth`` stay conservative."""
-        if split_level == 0 or groups <= 1:
+        unrolled fold live than the w_live term models. That OOM mechanism
+        is GROUP-INDEPENDENT (ADVICE r4 #2): the full budget is granted
+        only for shallow unrolled bottoms (Db <= 6, the probed regime — at
+        any group count), half otherwise; callers that omit ``depth`` stay
+        conservative (the G=1 auto-chooser deliberately does, as its
+        measured performance prior — see __init__)."""
+        if split_level == 0:
             return limits.usable_vmem
         if depth is not None and depth - split_level <= 6:
             return limits.usable_vmem
@@ -888,12 +908,13 @@ class RankFoldEngine:
     def min_vmem_bytes(cls, depth: int, row_tile: int, tree_tile: int,
                        groups: int = 1) -> int:
         """Min budget-equivalent VMEM over allowed split levels (for
-        feasibility; compare against limits.usable_vmem). Multi-group
-        DEEP-bottom split estimates are doubled to mirror split_budget's
-        derating; compile-walled levels are excluded."""
+        feasibility; compare against limits.usable_vmem). DEEP-bottom
+        (Db >= 7) split estimates are doubled to mirror split_budget's
+        derating (group-independent, ADVICE r4 #2); compile-walled levels
+        are excluded."""
         return min(
             cls.vmem_bytes(depth, row_tile, tree_tile, groups, ls)
-            * (1 if (ls == 0 or groups <= 1 or depth - ls <= 6) else 2)
+            * (1 if (ls == 0 or depth - ls <= 6) else 2)
             for ls in cls.valid_split_levels(depth, tree_tile, groups)
         )
 
@@ -1012,7 +1033,11 @@ class RankFoldEngine:
         )
 
         u_pad = pad_threshold_tables(self.q.tables, self.num_cols)
-        self._transform_v2 = u_pad.shape[1] > 256
+        # v2 for big tables (amortizes per-threshold cost) AND for > 128
+        # virtual features (the v1 flat kernel holds x in one vreg; the v2
+        # group-streamed grid handles any width one 30-feature group at a
+        # time — the r5 wide-forest path)
+        self._transform_v2 = u_pad.shape[1] > 256 or self.num_cols > LANE
         if self._transform_v2:
             cmax, digs, self._bucket_s, self._bucket_paired = (
                 build_bucket_tables(self.q.tables, self.num_cols)
@@ -1049,7 +1074,7 @@ class RankFoldEngine:
         if self._vf_base is not None:
             x = x[:, self._vf_base]  # duplicate base columns per band
         x = jnp.pad(x, ((0, (-x.shape[0]) % self.row_tile),
-                        (0, LANE - x.shape[1])))
+                        (0, _x_lanes(x.shape[1]) - x.shape[1])))
         return x
 
     def _transform(self, rank_tables, data):

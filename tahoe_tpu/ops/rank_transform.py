@@ -108,6 +108,11 @@ def rank_planes_kernel(x_canon, u_pad, *, row_tile: int = 256,
     assert rows % row_tile == 0
     if F > RANK_MAX_COLS:
         raise ValueError(f"rank planes support <= {RANK_MAX_COLS} features")
+    if F > LANE:
+        raise ValueError(
+            "flat v1 transform holds x in one vreg (<= 128 features); "
+            "wide forests use the group-streamed v2 kernel"
+        )
 
     # flat-path scoped VMEM scales with Rt * k_pad * F (per-feature compare
     # intermediates stay live): measured 100.7M real scoped OOM at
@@ -577,7 +582,9 @@ class RankTransformer:
         self.raw_missing = raw_missing
         self.num_cols = q.spec.num_cols
         u_pad = pad_threshold_tables(q.tables, self.num_cols)
-        self.v2 = u_pad.shape[1] > 256
+        # v2 for big tables and for > 128 virtual features (v1's x is one
+        # vreg; v2's group-streamed grid handles any width — r5)
+        self.v2 = u_pad.shape[1] > 256 or self.num_cols > LANE
         if self.v2:
             cmax, digs, self.bucket_s, self.bucket_paired = (
                 build_bucket_tables(q.tables, self.num_cols)
@@ -600,8 +607,10 @@ class RankTransformer:
         x = jnp.where(miss, jnp.float32(np.nan), x)
         if self.vf_base is not None:
             x = x[:, self.vf_base]
+        from tahoe_tpu.ops.rank_kernel import _x_lanes
+
         x = jnp.pad(x, ((0, (-x.shape[0]) % row_tile),
-                        (0, LANE - x.shape[1])))
+                        (0, _x_lanes(x.shape[1]) - x.shape[1])))
         return x
 
     def transform(self, rank_tables, data, *, row_tile: int,

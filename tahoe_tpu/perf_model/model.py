@@ -68,10 +68,12 @@ def _rank_transform_cost(forest: ForestSpec, vcols: int, rows: int) -> float:
         k_per_f = np.bincount(fs[new], minlength=forest.num_cols).tolist()
     else:
         k_per_f = [0]
-    if max(k_per_f, default=0) > 256:
+    if max(k_per_f, default=0) > 256 or vcols > 128:
         # bucketed v2 transform: ~constant VPU work per (row, VIRTUAL
         # feature — banding expands columns) regardless of table size;
-        # ~1.5 ns measured on v5e at SUSY scale
+        # ~1.5 ns measured on v5e at SUSY scale. Forests wider than one
+        # vreg (> 128 vcols) are forced onto v2 (group-streamed) too — the
+        # engine mirrors this (rank_kernel._build_tables, r5)
         return rows * vcols * 1.5e-9
     # flat compare sweep: fixed ~1.2 ns/(row, feature) of loop + plane
     # assembly, plus ~0.7 ps per (row, distinct threshold)
@@ -274,12 +276,10 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
         # (phishing/cifar/letter 391 KB, mnist ~390 KB at 4 sign-form
         # vregs, susy 1.57 MB) and VMEM faster below ~200 KB (svhn/ijcnn/
         # year/stumps/gisette). Charged as a measured ~12% compute penalty
-        # past a 250 KB boundary (sweep_results_r7.jsonl).
-        tt_full = 1 << (max(8, forest.num_trees) - 1).bit_length()
-        _, _, vregs, _ = feasibility.fold_cols(forest)
-        per_tree = ((1 << forest.depth) - 1) * 8 * max(1, vregs) \
-            + (1 << forest.depth) * 4
-        if tt_full * per_tree > 250 * 1024:
+        # past a 250 KB boundary (sweep_results_r7.jsonl). Sizing comes
+        # from the shared helper so it stays anchored to the fold engine's
+        # real tile layout (ADVICE r4 #3).
+        if feasibility.resident_table_bytes(forest) > 250 * 1024:
             compute *= 1.12
         return CostBreakdown(compute, memory, dispatch)
     # SPLIT_FOREST: same traversal; extra output-accumulation traffic per

@@ -120,7 +120,7 @@ def test_make_depth_bucketed_engine_chooses_rank_vs_fold():
     eng = make_depth_bucketed_engine(few_cols, row_tile=32, interpret=True)
     assert isinstance(eng, DepthBucketedRankEngine)
 
-    many_cols = _mixed_depth_forest(cols=125, seed=21)  # > RANK_MAX_COLS
+    many_cols = _mixed_depth_forest(cols=125, seed=21)  # > 2 plane groups
     eng2 = make_depth_bucketed_engine(many_cols, row_tile=32, interpret=True)
     assert isinstance(eng2, DepthBucketedFoldEngine)
 

@@ -117,12 +117,13 @@ def test_rank_defaults_prefer_big_row_tiles():
 
 
 def test_rank_defaults_per_depth_deep():
-    """Depth >= 13 uses the measured per-depth preference lists (r4_deep{,2}
+    """Depth >= 13 uses the measured per-depth preference lists (r4_deep{,2,3}
     sweeps, VERDICT r3 #2): deep13 -> (128, 8) whole-level ls0 (1.15
-    us/sample vs 2.17 at the old big-rt-first pick), deep14 -> (256, 4)
-    auto-ls8, deep15 -> (256, 1) whole-level ls0 (the r7 sweep's auto pick, 2.235
-    us/sample — faster than the explicit ls9's 2.373). The auto split-level
-    chooser must land on the measured split level for each."""
+    us/sample vs 2.17 at the old big-rt-first pick), deep14 -> (512, 4) ls8
+    (2.18-2.19 us/sample, unlocked by the Db-conditioned split budget —
+    scripts/derate_probe.py r4), deep15 -> (1024, 1) ls9 (2.13-2.22). The
+    auto split-level chooser must land on the measured split level for
+    each."""
     from tahoe_tpu.engine.feasibility import rank_default_tiles
     from tahoe_tpu.forest import synthetic
     from tahoe_tpu.ops.rank_kernel import RankFoldEngine

@@ -76,12 +76,45 @@ def test_plane_encoding_round_trip():
 
 
 def test_too_many_features_rejected():
-    # the cap is RANK_MAX_COLS (120) LIVE features — sparse wide forests
-    # auto-compact below it (tests/test_compact.py); this one uses ~200
-    forest = synthetic.generate_forest(300, 4, 200, seed=159)
-    assert np.unique(forest.fids[~forest.is_leaf]).size > 120
+    # the cap is RANK_MAX_COLS (480) LIVE features — sparse wide forests
+    # auto-compact below it (tests/test_compact.py); this one uses ~550+
+    forest = synthetic.generate_forest(900, 4, 700, seed=159)
+    assert np.unique(forest.fids[~forest.is_leaf]).size > 480
     with pytest.raises(NotImplementedError):
         RankFoldEngine(forest, interpret=True)
+
+
+@pytest.mark.parametrize("cols,min_groups", [
+    (150, 5),    # just past the old 4-group (120-feature) cap
+    (400, 10),   # mnist-class width (r5 wide extension, VERDICT r4 #1)
+])
+def test_wide_multi_group_matches_oracle(cols, min_groups):
+    """> 128 virtual features: canonicalized rows widen past one vreg and
+    the transform is forced onto the group-streamed v2 kernel; traversal
+    contracts over G*128 lanes. Parity must hold with missing values.
+    (The engine compacts to LIVE features first, so the group count is
+    bounded below, not pinned.)"""
+    forest = synthetic.generate_forest(30, 5, cols, leaf_prob=0.1, seed=162)
+    # make sure the live-feature compaction can't dodge the wide path
+    assert np.unique(forest.fids[~forest.is_leaf]).size > 128
+    data = synthetic.generate_data(48, cols, missing_prob=0.1, seed=163)
+    eng = RankFoldEngine(forest, row_tile=16, tree_tile=8, interpret=True)
+    assert eng.groups >= min_groups
+    assert eng._transform_v2  # forced v2 despite small threshold tables
+    got = np.asarray(eng.predict(data))
+    np.testing.assert_allclose(got, oracle.predict(forest, data), atol=1e-5)
+
+
+def test_wide_split_level_matches_oracle():
+    """Wide (G=5) forest through the subtree-split traversal grid."""
+    forest = synthetic.generate_forest(12, 7, 140, leaf_prob=0.1, seed=164)
+    data = synthetic.generate_data(24, 140, missing_prob=0.05, seed=165)
+    eng = RankFoldEngine(forest, row_tile=8, tree_tile=16, split_level=3,
+                         interpret=True)
+    assert eng.groups >= 5 and eng.split_level == 3
+    np.testing.assert_allclose(
+        np.asarray(eng.predict(data)), oracle.predict(forest, data), atol=1e-5
+    )
 
 
 def test_multi_group_features():

@@ -101,6 +101,41 @@ def test_v2_group_streamed_matches_numpy(cols, big):
     assert np.array_equal(np.asarray(got), want)
 
 
+def test_wide_forced_v2_matches_numpy():
+    """> 128 features (r5 wide extension): small threshold tables that the
+    v1 flat kernel would normally take are forced through the group-streamed
+    v2 grid; canonicalized rows widen to _x_lanes(F) vregs."""
+    from tahoe_tpu.ops.rank_kernel import _x_lanes
+
+    cols = 200
+    rng = np.random.default_rng(11)
+    tables = [np.unique(rng.uniform(-1, 1, int(rng.integers(3, 40)))
+                        .astype(np.float32)) for _ in range(cols)]
+    rows = 32
+    data = rng.uniform(-1.2, 1.2, (rows, cols)).astype(np.float32)
+    data[rng.random((rows, cols)) < 0.1] = np.nan
+    data[0, 0] = tables[0][0]  # exact threshold tie
+
+    ranks = np.empty_like(data)
+    for f in range(cols):
+        ranks[:, f] = np.searchsorted(tables[f], data[:, f], side="right")
+    ranks[np.isnan(data)] = np.nan
+    want = quantize.encode_rank_planes_np(ranks)
+
+    x = np.pad(data, ((0, 0), (0, _x_lanes(cols) - cols)))
+    cmax, digs, S, paired = build_bucket_tables(tables, cols)
+    got = rank_planes_kernel_v2(
+        jnp.asarray(x), cmax, digs, S, paired, row_tile=16, interpret=True,
+    )
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_v1_rejects_wide():
+    u = jnp.zeros((200, 128), jnp.float32)
+    with pytest.raises(ValueError):
+        rank_planes_kernel(jnp.zeros((16, 256), jnp.float32), u, row_tile=16)
+
+
 def test_v1_flat_sweep_matches_numpy():
     forest = synthetic.generate_forest(10, 6, 12, seed=2)
     q = quantize.quantize(forest)

@@ -66,6 +66,16 @@ def test_parity_banded():
     _check(f, d, band=64)  # force multi-band virtual features
 
 
+def test_parity_wide_groups():
+    """> 128 live features (r5 wide extension): the sparse engine's planes
+    widen past 4 groups and the shared transform runs group-streamed v2."""
+    f = synthetic.generate_forest(10, 5, 160, leaf_prob=0.15, seed=21)
+    assert np.unique(f.fids[~f.is_leaf]).size > 128
+    d = synthetic.generate_data(32, 160, missing_prob=0.1, seed=22)
+    eng = _check(f, d)
+    assert eng.groups >= 5
+
+
 def test_streaming_pool_parity():
     """Pools beyond the VMEM budget stream macro blocks (round 2's 2048-slot
     compile cap is gone — VERDICT r2 missing #3): full depth-12 trees force
