@@ -199,6 +199,14 @@ def main() -> int:
                 s.name: (None if not r.ran else round(r.us_per_sample, 6))
                 for s, r in res.items()
             },
+            # per-strategy [min, max] over the worker's 3 slopes (median-of-3
+            # recording, VERDICT r4 #2 — near-tie siblings are visible as
+            # overlapping bands instead of silent coin flips)
+            "bands": {
+                s.name: ([round(b, 6) for b in r.us_band]
+                         if r.ran and r.us_band else None)
+                for s, r in res.items()
+            },
             "not_run": {
                 s.name: (r.skipped_reason or r.error)
                 for s, r in res.items() if not r.ran

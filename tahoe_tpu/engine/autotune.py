@@ -39,6 +39,9 @@ class StrategyResult:
     error: Optional[str] = None
     # (row_tile, tree_tile) that produced us_per_sample; None = defaults
     tiles: Optional[tuple] = None
+    # [min, max] of the worker's three slope measurements (median-of-3
+    # recording, VERDICT r4 #2); None for legacy/skip records
+    us_band: Optional[list] = None
 
     @property
     def ran(self) -> bool:
@@ -100,6 +103,7 @@ def enumerate_strategies(
                     cand.us_per_sample = payload["us_per_sample"]
                     cand.max_err = payload["max_err"]
                     cand.correct = payload["correct"]
+                    cand.us_band = payload.get("us_band")
                 if tiles is None:
                     r = cand
                 elif (cand.ran and cand.correct

@@ -43,13 +43,25 @@ def run(spec_path: str, data_path: str, strategy_name: str,
     eng = forest.engine(strategy, row_tile=row_tile, tree_tile=tree_tile)
     data_d = jax.device_put(jnp.asarray(data, jnp.float32))
 
-    dt = timed_epoch_seconds(eng, data_d, warmup=warmup, epochs=epochs)
+    # Median of 3 independent slope measurements per strategy (VERDICT r4
+    # weak #1 / next #2): chip throughput drifts a few percent between
+    # chains, and near-tie strategy siblings (mnist's VMEM-vs-SPLIT pair,
+    # ~2.5% apart) flip winner on single-slope records. The reference takes
+    # 50 timed epochs per strategy for exactly this reason
+    # (BaseTahoeTest.h:684-698). Compiled predict_k executables are reused
+    # across repeats (same k values), so repeats cost timed chains only.
+    slopes = [timed_epoch_seconds(eng, data_d, warmup=warmup, epochs=epochs)
+              for _ in range(3)]
+    dt = float(np.median(slopes))
+    us = [s * 1e6 / data.shape[0] for s in slopes]
 
     preds = eng.predict(data_d)
     want = forest.predict_oracle(data)
     err = float(np.abs(np.asarray(preds) - want).max())
     return {
         "us_per_sample": dt * 1e6 / data.shape[0],
+        "us_band": [min(us), max(us)],
+        "us_slopes": us,
         "seconds_per_epoch": dt,
         "max_err": err,
         "correct": bool(err <= ORACLE_ATOL),

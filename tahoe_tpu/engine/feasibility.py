@@ -97,7 +97,9 @@ def check(strategy: Strategy, forest: ForestSpec,
         cols, ge_ok, vregs, sign = fold_cols(forest)
         if cols > MAX_SIGN_COLS:
             return (f"fold kernel needs <= {MAX_SIGN_COLS} live features, "
-                    f"forest has {cols}")
+                    f"forest has {cols} — RANK_MXU covers <= 480 banded "
+                    f"virtual features; TENSOR/ROW_TILED remain as exact "
+                    f"(15-30x slower) fallbacks")
         row_tile, tree_tile = default_tiles(strategy, forest, limits)
         # compile-time wall as a first-class infeasibility reason (VERDICT
         # r3 weak #3): whole-level unrolls explode past depth 14; the r4
