@@ -27,26 +27,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def build_spec(name: str):
-    from tahoe_tpu.forest import synthetic
-    from run_sweep import SHAPES
+    """Spec via run_sweep.family_spec — the SAME constructor the sweep used
+    (no duplicated generation logic to desynchronize). Returns None for
+    labels that aren't synthetic families (file-based --data-dir records)."""
+    from run_sweep import SHAPES, family_spec
 
     for shape in SHAPES:
         if shape[0] == name:
-            trees, depth, cols, rows, mp = shape[1:6]
-            extra = shape[6] if len(shape) > 6 else {}
-            if name.startswith("trained_mix"):
-                spec = synthetic.generate_mixed_depth_forest(
-                    trees, depth, cols, seed=1)
-            elif name.startswith("rf_"):
-                from tahoe_tpu.forest.train import train_forest
-
-                spec = train_forest(trees, depth, cols, rows=2048, seed=1)
-            else:
-                spec = synthetic.generate_forest(
-                    trees, depth, cols, seed=1,
-                    active_cols=extra.get("active"))
-            return spec, rows
-    raise KeyError(name)
+            return family_spec(shape)
+    return None
 
 
 def main() -> int:
@@ -76,11 +65,17 @@ def main() -> int:
     strict = within5 = n = 0
     for name, rec in sorted(latest.items()):
         meas = {k: v for k, v in rec["strategies"].items() if v is not None}
-        if not meas:
+        # the record's own measured_best is parity-filtered
+        # (autotune.best_strategy keeps only correct strategies) — never
+        # recompute it from raw times, a fast-but-wrong strategy would win
+        best = rec.get("measured_best")
+        if not meas or best not in meas:
             continue
-        spec, rows = build_spec(name)
+        spec = build_spec(name)
+        if spec is None:
+            print(f"--- {name}: not a synthetic family, skipped")
+            continue
         pred, _ = model.choose_strategy(spec, rec["rows"], cal)
-        best = min(meas, key=meas.get)
         ok = pred.name == best
         ok5 = ok or (pred.name in meas
                      and meas[pred.name] <= meas[best] * 1.05)

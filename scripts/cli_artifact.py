@@ -9,6 +9,7 @@ io.save_model/save_data (byte-compatible reference text formats) →
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=... \
       timeout 3600 python scripts/cli_artifact.py > CLI_RUN_r04.txt 2>&1
+  ... cli_artifact.py --wide > CLI_RUN_r05_wide.txt   # >120-feature forest
 """
 from __future__ import annotations
 
@@ -22,12 +23,19 @@ def main() -> int:
     from tahoe_tpu.forest import io, synthetic
     from tahoe_tpu.forest.train import train_forest
 
+    wide = "--wide" in sys.argv[1:]
     os.makedirs("/tmp/tahoe_fixture", exist_ok=True)
     mp = "/tmp/tahoe_fixture/model_rf.txt"
     dp = "/tmp/tahoe_fixture/data_rf.txt"
 
-    spec = train_forest(200, 10, 24, rows=4096, seed=7)
-    data = synthetic.generate_data(4000, 24, missing_prob=0.01, seed=8)
+    if wide:
+        # r5: a trained forest past the old 120-feature rank cap — the CLI
+        # protocol over the wide RANK_MXU path (VERDICT r4 missing #1)
+        spec = train_forest(150, 8, 200, rows=4096, seed=7)
+        data = synthetic.generate_data(4000, 200, missing_prob=0.01, seed=8)
+    else:
+        spec = train_forest(200, 10, 24, rows=4096, seed=7)
+        data = synthetic.generate_data(4000, 24, missing_prob=0.01, seed=8)
     io.save_model(mp, spec)
     io.save_data(dp, data.astype(np.float32), float(spec.missing))
     print(f"fixture: trained forest {spec.num_trees} trees depth "

@@ -79,6 +79,10 @@ def run_config(name: str, mode: str) -> int:
             k2 = k1 + (k2 - k1) * max(2, int(0.04 / max(t2 - t1, 1e-3)))
             t2 = timed(k2)
             tries += 1
+        # flag the CLAUDE.md invalid-reading class instead of silently
+        # emitting a noise-floor slope (r5 review finding): deltas under
+        # ~20 ms are fence-RTT jitter
+        slope._last_delta = t2 - t1
         return max((t2 - t1) / (k2 - k1), 1e-9)
 
     eng = RankFoldEngine(forest, row_tile=rt, tree_tile=tt,
@@ -118,6 +122,8 @@ def run_config(name: str, mode: str) -> int:
 
     out = {
         "config": name, "mode": mode, "tiles": [rt, tt], "rows": rows,
+        "slope_delta_s": round(getattr(slope, "_last_delta", float("nan")), 4),
+        "noise_guarded": bool(getattr(slope, "_last_delta", 0.0) >= 0.02),
         "split_level": Ls, "groups": G, "depth": D,
         "stream_chunk_rows": eng.stream_chunk_rows,
         "passes": n_pass,

@@ -85,6 +85,25 @@ SHAPES = [
 ]
 
 
+def family_spec(shape):
+    """ForestSpec for one SHAPES entry — the single source of truth for
+    family construction, shared with the offline model checker
+    (scripts/check_sweep_model.py) so the spec it re-ranks is bit-identical
+    to what the sweep measured (seeded generators)."""
+    from tahoe_tpu.forest import synthetic
+
+    name, trees, depth, cols = shape[0], shape[1], shape[2], shape[3]
+    extra = shape[6] if len(shape) > 6 else {}
+    if name.startswith("trained_mix"):
+        return synthetic.generate_mixed_depth_forest(trees, depth, cols, seed=1)
+    if name.startswith("rf_"):
+        from tahoe_tpu.forest.train import train_forest
+
+        return train_forest(trees, depth, cols, rows=2048, seed=1)
+    return synthetic.generate_forest(trees, depth, cols, seed=1,
+                                     active_cols=extra.get("active"))
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="3 shapes, few epochs")
@@ -149,19 +168,7 @@ def main() -> int:
             label = os.path.basename(name)
         else:
             trees, depth, cols, rows, mprob, extra = payload
-            if name.startswith("trained_mix"):
-                spec = synthetic.generate_mixed_depth_forest(
-                    trees, depth, cols, seed=1
-                )
-            elif name.startswith("rf_"):
-                from tahoe_tpu.forest.train import train_forest
-
-                spec = train_forest(trees, depth, cols, rows=2048, seed=1)
-            else:
-                spec = synthetic.generate_forest(
-                    trees, depth, cols, seed=1,
-                    active_cols=extra.get("active"),
-                )
+            spec = family_spec((name, trees, depth, cols, rows, mprob, extra))
             data = synthetic.generate_data(rows, cols, missing_prob=mprob, seed=2)
             label = name
 

@@ -43,18 +43,21 @@ from tahoe_tpu.ops.transform import apply_output_transform
 def _x_lanes(num_cols: int) -> int:
     """Canonicalized-row lane count for ``num_cols`` virtual features.
 
-    <= 128 features keep the historical single-vreg [R, 128] layout (the v1
-    flat transform and the fused transform+traversal path require it).
-    Wider forests (r5: the >120-vcol rank extension) pad to whole vregs with
-    room for every 30-feature plane group's slice — the group-streamed v2
-    transform slices x[:, 30g : 30(g+1)] per group, and the last group's
-    slice can reach past the feature count (ceil(F/30)*30 > F)."""
-    if num_cols <= LANE:
-        return LANE
+    The group-streamed v2 transform slices x[:, 30g : 30(g+1)] per plane
+    group, and the LAST group's slice reaches ceil(F/30)*30 — past the
+    feature count. x must therefore carry G*30 lanes, rounded to whole
+    vregs, NOT merely F: at F = 121..128 (G = 5) a 128-lane x would make
+    group 4's slice a silently-clamped 8-wide partial and the concatenated
+    xg a non-lane-aligned 618-wide block (caught in the r5 review — the
+    aloi-class boundary shape). <= 120 features (G*30 <= 128) keep the
+    historical single-vreg [R, 128] layout that the v1 flat transform and
+    the fused transform+traversal path require."""
     from tahoe_tpu.forest.compiler import RANK_GROUP_COLS, rank_groups
 
-    return _round_up(max(num_cols, rank_groups(num_cols) * RANK_GROUP_COLS),
-                     LANE)
+    need = rank_groups(num_cols) * RANK_GROUP_COLS
+    if need <= LANE:
+        return LANE
+    return _round_up(need, LANE)
 
 
 class RankFoldConfig(NamedTuple):

@@ -105,6 +105,24 @@ def test_wide_multi_group_matches_oracle(cols, min_groups):
     np.testing.assert_allclose(got, oracle.predict(forest, data), atol=1e-5)
 
 
+def test_boundary_121_128_features_v2():
+    """THE layout boundary (r5 review finding): 121-128 features give G=5
+    plane groups whose last slice reaches lane 150 — x must widen to 256
+    lanes even though F <= 128. Forced onto the v2 group-streamed transform
+    via large per-feature threshold tables."""
+    from tahoe_tpu.ops.rank_kernel import _x_lanes
+
+    assert _x_lanes(120) == 128 and _x_lanes(121) == 256
+    assert _x_lanes(128) == 256 and _x_lanes(130) == 256
+    forest = synthetic.generate_forest(300, 8, 126, leaf_prob=0.05, seed=166)
+    data = synthetic.generate_data(32, 126, missing_prob=0.1, seed=167)
+    eng = RankFoldEngine(forest, row_tile=16, tree_tile=16, interpret=True)
+    assert eng.groups == 5 and eng._transform_v2
+    np.testing.assert_allclose(
+        np.asarray(eng.predict(data)), oracle.predict(forest, data), atol=1e-5
+    )
+
+
 def test_wide_split_level_matches_oracle():
     """Wide (G=5) forest through the subtree-split traversal grid."""
     forest = synthetic.generate_forest(12, 7, 140, leaf_prob=0.1, seed=164)
