@@ -133,6 +133,12 @@ def _branches():
         lambda: (lambda f: (rank(f, row_tile=256, tree_tile=64,
                                  split_level=3), f, data_for(f)))(
             synthetic.generate_forest(250, 8, 130, seed=31)))
+    # THE layout boundary (r5 review finding): 121-128 features, G=5, x
+    # widened to 256 lanes, v2 forced by ~400-threshold tables — aloi's shape
+    add("rank_wide_g5_aloi128",
+        lambda: (lambda f: (rank(f, row_tile=256, tree_tile=64), f,
+                            data_for(f)))(
+            synthetic.generate_forest(200, 8, 128, seed=35)))
     add("rank_wide_g10_cup98",
         lambda: (lambda f: (rank(f, row_tile=256, tree_tile=32), f,
                             data_for(f)))(
@@ -293,8 +299,8 @@ BRANCH_NAMES = [
     "rank_g2_40feat", "rank_g3_70feat", "rank_transform_decoupled_rt",
     "rank_v2_bucketed_transform", "rank_cond_lead", "rank_chunk_lead",
     "rank_deep12_split", "rank_rt2048_headline", "rank_fused_transform",
-    "rank_wide_g5_allstate", "rank_wide_g5_split", "rank_wide_g10_cup98",
-    "rank_wide_g13_mnist", "sparse_rank_wide",
+    "rank_wide_g5_allstate", "rank_wide_g5_split", "rank_wide_g5_aloi128",
+    "rank_wide_g10_cup98", "rank_wide_g13_mnist", "sparse_rank_wide",
     "fold_ge_whole", "fold_deep12_split",
     "fold_sign_v1_100feat", "fold_sign_v3_300feat", "depth_bucketed_auto",
     "depth_bucketed_fold", "sharded_fold_1dev", "sharded_rank_1dev",

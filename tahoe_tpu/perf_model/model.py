@@ -76,8 +76,14 @@ def _rank_transform_cost(forest: ForestSpec, vcols: int, rows: int) -> float:
         # engine mirrors this (rank_kernel._build_tables, r5)
         return rows * vcols * 1.5e-9
     # flat compare sweep: fixed ~1.2 ns/(row, feature) of loop + plane
-    # assembly, plus ~0.7 ps per (row, distinct threshold)
-    return rows * (forest.num_cols * 1.2e-9 + sum(k_per_f) * 0.7e-12)
+    # assembly, plus ~0.7 ps per (row, distinct threshold). Feature count
+    # is LIVE columns (nonzero threshold tables): the engine compacts to
+    # live features before transforming, so pricing raw num_cols would
+    # overcharge sparse-wide forests ~40x (gisette-class: 120 live of 5000)
+    import numpy as np  # noqa: F811 — local, mirrors the top of the fn
+
+    live_cols = int(np.count_nonzero(np.asarray(k_per_f))) or 1
+    return rows * (live_cols * 1.2e-9 + sum(k_per_f) * 0.7e-12)
 
 
 def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
