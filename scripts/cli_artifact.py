@@ -30,8 +30,24 @@ def main() -> int:
 
     if wide:
         # r5: a trained forest past the old 120-feature rank cap — the CLI
-        # protocol over the wide RANK_MXU path (VERDICT r4 missing #1)
-        spec = train_forest(150, 8, 200, rows=4096, seed=7)
+        # protocol over the wide RANK_MXU path (VERDICT r4 missing #1).
+        # Labels are variance-normalized: train_forest's default task has
+        # z = X @ proj with Var[z] ∝ num_cols, so at 200 features raw leaf
+        # values reach O(1e3-1e4) and the reference's ABSOLUTE 1e-3
+        # tolerance (BaseTahoeTest.h:521-530) lands at f32 summation noise
+        # for a 150-term AVG — every reference dataset's outputs are O(1)
+        # margins, so the fixture's must be too (found on chip:
+        # CLI_RUN_r05_wide's first run read max err 9.8e-04..1.5e-03 on
+        # ALL engines from exactly this).
+        def unit_scale_task(X, rng):
+            proj = rng.standard_normal((X.shape[1], 3))
+            z = (X @ proj) / np.sqrt(X.shape[1])
+            y = (np.sin(z[:, 0]) + 0.5 * np.sign(z[:, 1]) * z[:, 1] ** 2
+                 + 0.3 * z[:, 2] + 0.1 * rng.standard_normal(X.shape[0]))
+            return y
+
+        spec = train_forest(150, 8, 200, rows=4096, seed=7,
+                            task_fn=unit_scale_task)
         data = synthetic.generate_data(4000, 200, missing_prob=0.01, seed=8)
     else:
         spec = train_forest(200, 10, 24, rows=4096, seed=7)

@@ -313,9 +313,18 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--branch", default=None)
     p.add_argument("--out", default=None)
+    p.add_argument("--subset", default=None,
+                   help="comma-separated branch names (subset of "
+                        "BRANCH_NAMES) for a targeted artifact run")
     args = p.parse_args()
     if args.branch:
         return run_branch(args.branch)
+    names = BRANCH_NAMES
+    if args.subset:
+        keep = set(args.subset.split(","))
+        unknown = keep - set(BRANCH_NAMES)
+        assert not unknown, f"unknown branches: {unknown}"
+        names = [n for n in BRANCH_NAMES if n in keep]
 
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -324,7 +333,7 @@ def main() -> int:
                    os.path.join(os.path.expanduser("~"), ".cache",
                                 "tahoe_tpu_xla"))
     report = {"branches": {}, "ok": True}
-    for name in BRANCH_NAMES:
+    for name in names:
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--branch", name],

@@ -276,16 +276,21 @@ def predict_cost(strategy: Strategy, forest: ForestSpec, rows: int,
     memory = passes * _table_bytes(forest) / (cal.hbm_gbps * 1e9)
     if strategy == Strategy.VMEM_FOREST:
         # Whole-forest residency degrades the fold once the single tile's
-        # resident tables crowd VMEM: the r7 sweep's VMEM-vs-SPLIT pairs
-        # split cleanly on per-cell resident bytes — SPLIT measured 8-10%
-        # faster wherever the whole-forest tile holds >= ~390 KB of tables
-        # (phishing/cifar/letter 391 KB, mnist ~390 KB at 4 sign-form
-        # vregs, susy 1.57 MB) and VMEM faster below ~200 KB (svhn/ijcnn/
-        # year/stumps/gisette). Charged as a measured ~12% compute penalty
-        # past a 250 KB boundary (sweep_results_r7.jsonl). Sizing comes
-        # from the shared helper so it stays anchored to the fold engine's
-        # real tile layout (ADVICE r4 #3).
-        if feasibility.resident_table_bytes(forest) > 250 * 1024:
+        # resident tables crowd VMEM. Boundary history: r7's single-slope
+        # records put SPLIT 2-6% ahead at the 391 KB shapes (phishing/
+        # cifar/letter) and the penalty was fitted with a 250 KB step —
+        # but r8's median-of-3 re-measurements (sweep_results_r8.jsonl)
+        # show VMEM winning ALL four ~390 KB families (phishing +6.2%
+        # outside the noise band; cifar +0.4% / mnist +0.8% with fully
+        # overlapping bands; letter +7.3%), i.e. the r7 wins there were
+        # pre-median-of-3 noise. The first size where SPLIT measurably
+        # wins is aloi's 784 KB (−25% r8, −0% r7); by susy's 1.57 MB the
+        # pass-count mechanism dominates regardless. The ×1.12 step
+        # therefore fires at 512 KB — inside the unconstrained
+        # (391, 784) KB gap. Sizing comes from the shared helper so it
+        # stays anchored to the fold engine's real tile layout
+        # (ADVICE r4 #3).
+        if feasibility.resident_table_bytes(forest) > 512 * 1024:
             compute *= 1.12
         return CostBreakdown(compute, memory, dispatch)
     # SPLIT_FOREST: same traversal; extra output-accumulation traffic per

@@ -36,10 +36,17 @@ CASES = [
     # tree tilings (r6 measured VMEM best under the r3 kernel; the r4
     # split-grid shifts SPLIT's default tiles — re-pin from the r7 sweep)
     ((200, 8, 128, 5000), {Strategy.VMEM_FOREST, Strategy.SPLIT_FOREST}),
-    # phishing-class: SPLIT measured best in r7 (0.0686 vs VMEM 0.0755) —
-    # the whole-forest tile's 391 KB resident tables cross the measured
-    # ~250 KB degradation boundary (model.py VMEM penalty, r7 sweep)
-    ((200, 7, 68, 6000), {Strategy.SPLIT_FOREST}),
+    # phishing-class: r8's median-of-3 record puts VMEM 6.2% ahead —
+    # OUTSIDE the 5% noise band (r7's single-slope SPLIT win there was
+    # noise); its 391 KB resident tables sit below the re-fitted 512 KB
+    # degradation boundary (model.py VMEM penalty, sweep_results_r8.jsonl)
+    ((200, 7, 68, 6000), {Strategy.VMEM_FOREST}),
+    # cifar/mnist-class: measured VMEM-vs-SPLIT ties (r8 gaps +0.4%/+0.8%,
+    # bands fully overlapping) — either sibling is an acceptable pick, but
+    # the 391 KB / ~291 KB residencies must NOT trip the 512 KB penalty
+    # into a >5% SPLIT preference
+    ((150, 7, 120, 3000), {Strategy.VMEM_FOREST, Strategy.SPLIT_FOREST}),
+    ((100, 6, 400, 2000), {Strategy.VMEM_FOREST, Strategy.SPLIT_FOREST}),
 ]
 
 
