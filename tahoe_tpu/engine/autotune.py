@@ -142,12 +142,20 @@ def _run_one(spec_path, data_path, strategy, warmup, epochs, isolate,
             spec_path, data_path, strategy.name, str(warmup), str(epochs),
             str(rt) if rt else "-", str(tt) if tt else "-",
         ]
+        # Per-strategy wall cap. 1200 s covers every strategy except
+        # cold-cache compiles of the depth-18 banded rank / depth-bucketed
+        # forms (~54-66 us/sample dead tiers whose MEASUREMENT is quick but
+        # whose Mosaic compile alone can exceed the cap on a fresh
+        # container — r8's rf_deep18 record). The reference's enumeration
+        # has no per-strategy cap at all (BaseTahoeTest.h:684-698), so a
+        # sweep that wants complete dead-tier records can raise this.
+        cap = int(os.environ.get("TAHOE_BENCH_TIMEOUT_S", "1200"))
         try:
             out = subprocess.run(
-                cmd, capture_output=True, text=True, env=env, timeout=1200
+                cmd, capture_output=True, text=True, env=env, timeout=cap
             )
         except subprocess.TimeoutExpired:
-            return {"error": "benchmark subprocess timed out"}
+            return {"error": f"benchmark subprocess timed out (> {cap} s)"}
         for line in reversed(out.stdout.strip().splitlines() or [""]):
             line = line.strip()
             if line.startswith("{"):
